@@ -34,7 +34,7 @@ def test_schedule_shapes(kw, t):
 def test_alphas_identities():
     sched = schedules.DiffusionSchedule.create("cosine", 250)
     np.testing.assert_allclose(
-        np.asarray(sched.alphas), 1.0 - np.asarray(sched.betas), rtol=1e-6
+        np.asarray(sched.alphas), 1.0 - np.asarray(sched.betas), rtol=1e-6, atol=1e-7
     )
     np.testing.assert_allclose(
         np.asarray(sched.alphas_cumprod),
