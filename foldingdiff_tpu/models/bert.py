@@ -1,0 +1,207 @@
+"""
+BERT-for-diffusion denoiser in Flax.
+
+Numerically compatible with the reference model (foldingdiff/modelling.py:
+211-484, which wraps HF transformers BertEncoder):
+- continuous 6-feature inputs projected to hidden dim (modelling.py:267-269)
+- optional absolute position embeddings, LayerNorm(eps=1e-12) + dropout
+  (BertEmbeddings, modelling.py:132-170)
+- time embedding broadcast-added to every position (modelling.py:471-472)
+- post-LN BERT encoder with `relative_key` relative-position attention
+  scoring (HF BertSelfAttention semantics: raw q@k^T plus
+  einsum('bhld,lrd->bhlr', q, dist_emb) BEFORE the 1/sqrt(d) scale)
+- additive -10000 attention mask (modelling.py:450-452)
+- MLP angle head: dense -> gelu -> LayerNorm -> dense (modelling.py:173-208)
+
+Parameter tree names mirror the HF module paths (encoder/layer_N/attention/...)
+so reference torch checkpoints convert by name mapping alone (models/io.py).
+
+TPU notes: everything static-shaped; attention runs as plain jnp einsums that
+XLA fuses onto the MXU (L<=512, H<=768 -- the whole layer fits in VMEM). A
+Pallas fused-attention path can be slotted in `SelfAttention.__call__`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from foldingdiff_tpu.models.config import ModelConfig
+from foldingdiff_tpu.models.time_embed import get_time_encoder
+
+
+def _act(name: str):
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    if name == "gelu_new":
+        return lambda x: nn.gelu(x, approximate=True)
+    if name == "relu":
+        return nn.relu
+    raise ValueError(f"Unsupported activation {name}")
+
+
+class SelfAttention(nn.Module):
+    """HF BertSelfAttention numerics incl. relative_key position scoring."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias, position_ids, deterministic: bool):
+        cfg = self.config
+        b, l, _ = hidden.shape
+        h, d = cfg.num_attention_heads, cfg.attention_head_size
+
+        def proj(name):
+            return nn.Dense(h * d, name=name)(hidden).reshape(b, l, h, d).transpose(0, 2, 1, 3)
+
+        q = proj("query")
+        k = proj("key")
+        v = proj("value")
+
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k)
+
+        if cfg.position_embedding_type in ("relative_key", "relative_key_query"):
+            # distance matrix from the (shared) position ids; HF computes it
+            # from arange, equivalent for our always-arange position_ids
+            pos_l = position_ids[0][:, None]
+            pos_r = position_ids[0][None, :]
+            distance = pos_l - pos_r  # (L, L)
+            dist_emb = nn.Embed(
+                2 * cfg.max_position_embeddings - 1,
+                d,
+                name="distance_embedding",
+                embedding_init=nn.initializers.normal(stddev=cfg.initializer_range),
+            )(distance + cfg.max_position_embeddings - 1)
+            scores = scores + jnp.einsum("bhld,lrd->bhlr", q, dist_emb)
+            if cfg.position_embedding_type == "relative_key_query":
+                scores = scores + jnp.einsum("bhrd,lrd->bhlr", k, dist_emb)
+
+        scores = scores / jnp.sqrt(jnp.asarray(d, dtype=scores.dtype))
+        scores = scores + attn_bias  # (B, 1, 1, L) additive -10000 mask
+        probs = nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v)
+        return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+class Layer(nn.Module):
+    """One post-LN BERT layer (attention + FFN), HF module naming."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias, position_ids, deterministic: bool):
+        cfg = self.config
+        act = _act(cfg.hidden_act)
+
+        attn_out = SelfAttention(cfg, name="attention_self")(
+            hidden, attn_bias, position_ids, deterministic
+        )
+        attn_out = nn.Dense(cfg.hidden_size, name="attention_output_dense")(attn_out)
+        attn_out = nn.Dropout(cfg.hidden_dropout_prob)(attn_out, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_output_LayerNorm")(
+            attn_out + hidden
+        )
+
+        ff = nn.Dense(cfg.intermediate_size, name="intermediate_dense")(hidden)
+        ff = act(ff)
+        ff = nn.Dense(cfg.hidden_size, name="output_dense")(ff)
+        ff = nn.Dropout(cfg.hidden_dropout_prob)(ff, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_LayerNorm")(ff + hidden)
+        return hidden
+
+
+class Embeddings(nn.Module):
+    """Reference BertEmbeddings (modelling.py:132-170): abs pos emb only when
+    position_embedding_type == absolute; LayerNorm + dropout always."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, input_embeds, position_ids, deterministic: bool):
+        cfg = self.config
+        emb = input_embeds
+        if cfg.position_embedding_type == "absolute":
+            pos = nn.Embed(
+                cfg.max_position_embeddings,
+                cfg.hidden_size,
+                name="position_embeddings",
+                embedding_init=nn.initializers.normal(stddev=cfg.initializer_range),
+            )(position_ids)
+            emb = emb + pos
+        emb = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="LayerNorm")(emb)
+        return nn.Dropout(cfg.hidden_dropout_prob)(emb, deterministic=deterministic)
+
+
+class AnglesPredictor(nn.Module):
+    """dense -> act -> LayerNorm -> dense head (modelling.py:173-208)."""
+
+    d_model: int
+    d_out: int
+    activation: str = "gelu"
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.d_model, name="dense1")(x)
+        x = _act(self.activation)(x)
+        x = nn.LayerNorm(epsilon=self.eps, name="layer_norm")(x)
+        return nn.Dense(self.d_out, name="dense2")(x)
+
+
+class BertForDiffusion(nn.Module):
+    """
+    Noise-prediction transformer: (x_t, t, mask) -> predicted noise.
+
+    apply signature:
+      model.apply({'params': p, 'constants': c}, inputs, timestep, attention_mask,
+                  position_ids=None, deterministic=True, rngs={'dropout': key})
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: jnp.ndarray,  # (B, L, F)
+        timestep: jnp.ndarray,  # (B,) or (B, 1)
+        attention_mask: jnp.ndarray,  # (B, L), 1 = keep
+        position_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        if cfg.matmul_precision != "default":
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return self._forward(inputs, timestep, attention_mask, position_ids, deterministic)
+        return self._forward(inputs, timestep, attention_mask, position_ids, deterministic)
+
+    def _forward(self, inputs, timestep, attention_mask, position_ids, deterministic):
+        cfg = self.config
+        assert inputs.ndim == 3
+        b, l, _ = inputs.shape
+
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None, :], (b, l))
+
+        attn_bias = (1.0 - attention_mask[:, None, None, :].astype(inputs.dtype)) * -10000.0
+
+        upscaled = nn.Dense(cfg.hidden_size, name="inputs_to_hidden_dim")(inputs)
+        upscaled = Embeddings(cfg, name="embeddings")(upscaled, position_ids, deterministic)
+
+        time_encoded = get_time_encoder(cfg.time_encoding, cfg.hidden_size)(timestep)
+        hidden = upscaled + time_encoded[:, None, :]
+
+        for i in range(cfg.num_hidden_layers):
+            hidden = Layer(cfg, name=f"encoder_layer_{i}")(
+                hidden, attn_bias, position_ids, deterministic
+            )
+
+        if cfg.decoder == "mlp":
+            out = AnglesPredictor(cfg.hidden_size, cfg.n_inputs, name="token_decoder")(hidden)
+        elif cfg.decoder == "linear":
+            out = nn.Dense(cfg.n_inputs, name="token_decoder")(hidden)
+        else:
+            raise ValueError(f"Unrecognized decoder: {cfg.decoder}")
+        return out

@@ -1,0 +1,312 @@
+"""
+Model tests: determinism, mask invariance, batch-order agnosticism, save/load
+(port of reference tests/test_transformer.py), plus a hard numerics-parity
+gate vs the HF torch BertEncoder with converted weights.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from foldingdiff_tpu.models import BertForDiffusion, ModelConfig
+from foldingdiff_tpu.models import io as model_io
+
+MINI_CONFIG = ModelConfig(
+    hidden_size=96,
+    num_hidden_layers=3,
+    num_attention_heads=6,
+    intermediate_size=192,
+    max_position_embeddings=64,
+    position_embedding_type="relative_key",
+    hidden_dropout_prob=0.1,
+    attention_probs_dropout_prob=0.1,
+)
+
+
+def make_model(config=MINI_CONFIG, seed=0):
+    model = BertForDiffusion(config)
+    variables = model_io.init_model_variables(
+        model, jax.random.PRNGKey(seed), pad=config.max_position_embeddings
+    )
+    return model, variables
+
+
+def rand_batch(config, b=4, l=None, seed=0):
+    l = l or config.max_position_embeddings
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-np.pi, np.pi, size=(b, l, config.n_inputs)).astype(np.float32)
+    t = rng.integers(0, 250, size=(b,))
+    lengths = rng.integers(l // 2, l + 1, size=b)
+    mask = (np.arange(l)[None, :] < lengths[:, None]).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(t), jnp.asarray(mask), lengths
+
+
+class TestModelProperties:
+    def test_determinism(self):
+        model, variables = make_model()
+        x, t, mask, _ = rand_batch(MINI_CONFIG)
+        out1 = model.apply(variables, x, t, mask, deterministic=True)
+        out2 = model.apply(variables, x, t, mask, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_mask_invariance(self):
+        """Noise on masked tail must not change unmasked outputs
+        (reference test_transformer.py:101-134)."""
+        model, variables = make_model()
+        x, t, mask, lengths = rand_batch(MINI_CONFIG, seed=3)
+        out_clean = np.asarray(model.apply(variables, x, t, mask, deterministic=True))
+        noise = np.random.default_rng(9).normal(size=np.asarray(x).shape).astype(np.float32)
+        x_noised = np.asarray(x) + noise * (1.0 - np.asarray(mask))[:, :, None]
+        out_noised = np.asarray(
+            model.apply(variables, jnp.asarray(x_noised), t, mask, deterministic=True)
+        )
+        for i, length in enumerate(lengths):
+            np.testing.assert_allclose(
+                out_clean[i, :length], out_noised[i, :length], atol=1e-5
+            )
+
+    def test_batch_order_agnostic(self):
+        model, variables = make_model()
+        x, t, mask, _ = rand_batch(MINI_CONFIG, seed=5)
+        out = np.asarray(model.apply(variables, x, t, mask, deterministic=True))
+        perm = np.array([2, 0, 3, 1])
+        out_perm = np.asarray(
+            model.apply(variables, x[perm], t[perm], mask[perm], deterministic=True)
+        )
+        np.testing.assert_allclose(out[perm], out_perm, atol=1e-5)
+
+    def test_dropout_changes_output(self):
+        model, variables = make_model()
+        x, t, mask, _ = rand_batch(MINI_CONFIG)
+        out1 = model.apply(
+            variables, x, t, mask, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)}
+        )
+        out2 = model.apply(
+            variables, x, t, mask, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)}
+        )
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_timestep_changes_output(self):
+        model, variables = make_model()
+        x, t, mask, _ = rand_batch(MINI_CONFIG)
+        out1 = model.apply(variables, x, jnp.zeros_like(t), mask, deterministic=True)
+        out2 = model.apply(variables, x, jnp.full_like(t, 100), mask, deterministic=True)
+        assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-3)
+
+
+class TestSaveLoad:
+    def test_roundtrip(self, tmp_path):
+        model, variables = make_model()
+        train_args = {
+            "angles_definitions": "canonical-full-angles",
+            "max_seq_len": MINI_CONFIG.max_position_embeddings,
+            "num_hidden_layers": MINI_CONFIG.num_hidden_layers,
+            "hidden_size": MINI_CONFIG.hidden_size,
+            "intermediate_size": MINI_CONFIG.intermediate_size,
+            "num_heads": MINI_CONFIG.num_attention_heads,
+            "position_embedding_type": "relative_key",
+            "time_encoding": "gaussian_fourier",
+            "decoder": "mlp",
+            "dropout_p": 0.1,
+            "timesteps": 250,
+            "variance_schedule": "cosine",
+            "variance_scale": 1.0,
+        }
+        model_io.save_model_dir(
+            str(tmp_path),
+            MINI_CONFIG,
+            variables["params"],
+            variables["constants"],
+            train_args,
+            mean_offset=np.zeros(6),
+            epoch=3,
+        )
+        model2, params2, constants2, args2 = model_io.from_dir(str(tmp_path))
+        x, t, mask, _ = rand_batch(MINI_CONFIG, seed=11)
+        out1 = model.apply(variables, x, t, mask, deterministic=True)
+        out2 = model2.apply(
+            {"params": params2, "constants": constants2}, x, t, mask, deterministic=True
+        )
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+        assert args2["timesteps"] == 250
+
+    def test_top_k_pruning(self, tmp_path):
+        model, variables = make_model()
+        ta = {"angles_definitions": "canonical-full-angles", "max_seq_len": 64,
+              "num_hidden_layers": 3, "hidden_size": 96, "intermediate_size": 192,
+              "num_heads": 6, "decoder": "mlp", "time_encoding": "gaussian_fourier"}
+        for e in range(8):
+            model_io.save_model_dir(
+                str(tmp_path), MINI_CONFIG, variables["params"], variables["constants"],
+                ta, epoch=e, keep_top_k=5,
+            )
+        import glob
+        ckpts = glob.glob(str(tmp_path / "models" / "best_by_valid" / "*.msgpack"))
+        assert len(ckpts) == 5
+
+
+def _build_torch_reference(config: ModelConfig, seed: int = 0):
+    """
+    Independently assemble the reference architecture in torch from its
+    documented semantics (modelling.py:211-484): input proj -> BertEmbeddings
+    (LN+dropout, no abs pos for relative_key) -> +time embedding -> HF
+    BertEncoder -> MLP head. Returns an eval-mode nn.Module whose state_dict
+    uses the reference's parameter names.
+    """
+    import torch
+    from torch import nn as tnn
+    from transformers import BertConfig
+    from transformers.models.bert.modeling_bert import BertEncoder
+
+    torch.manual_seed(seed)
+    hf_cfg = BertConfig(
+        max_position_embeddings=config.max_position_embeddings,
+        num_attention_heads=config.num_attention_heads,
+        hidden_size=config.hidden_size,
+        intermediate_size=config.intermediate_size,
+        num_hidden_layers=config.num_hidden_layers,
+        position_embedding_type=config.position_embedding_type,
+        hidden_dropout_prob=config.hidden_dropout_prob,
+        attention_probs_dropout_prob=config.attention_probs_dropout_prob,
+        use_cache=False,
+        attn_implementation="eager",
+    )
+
+    class Embeddings(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            if config.position_embedding_type == "absolute":
+                self.position_embeddings = tnn.Embedding(
+                    config.max_position_embeddings, config.hidden_size
+                )
+            self.LayerNorm = tnn.LayerNorm(config.hidden_size, eps=1e-12)
+            self.dropout = tnn.Dropout(config.hidden_dropout_prob)
+
+        def forward(self, x, position_ids):
+            if config.position_embedding_type == "absolute":
+                x = x + self.position_embeddings(position_ids)
+            return self.dropout(self.LayerNorm(x))
+
+    class TimeEmbed(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            w = torch.randn(config.hidden_size // 2) * (2 * torch.pi)
+            self.register_buffer("W", w)
+
+        def forward(self, t):
+            proj = t.float()[:, None] * self.W[None, :] * 2 * torch.pi
+            return torch.cat([torch.sin(proj), torch.cos(proj)], dim=-1)
+
+    class Head(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dense1 = tnn.Linear(config.hidden_size, config.hidden_size)
+            self.layer_norm = tnn.LayerNorm(config.hidden_size, eps=1e-12)
+            self.dense2 = tnn.Linear(config.hidden_size, config.n_inputs)
+
+        def forward(self, x):
+            return self.dense2(self.layer_norm(tnn.functional.gelu(self.dense1(x))))
+
+    class RefModel(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inputs_to_hidden_dim = tnn.Linear(config.n_inputs, config.hidden_size)
+            self.embeddings = Embeddings()
+            self.encoder = BertEncoder(hf_cfg)
+            self.token_decoder = Head()
+            self.time_embed = TimeEmbed()
+
+        def forward(self, inputs, timestep, attention_mask):
+            b, l, _ = inputs.shape
+            position_ids = torch.arange(l).expand(b, -1)
+            ext_mask = (1.0 - attention_mask[:, None, None, :]) * -10000.0
+            h = self.inputs_to_hidden_dim(inputs)
+            h = self.embeddings(h, position_ids)
+            h = h + self.time_embed(timestep).unsqueeze(1)
+            out = self.encoder(h, attention_mask=ext_mask, return_dict=True)
+            return self.token_decoder(out.last_hidden_state)
+
+    model = RefModel().eval()
+    return model
+
+
+@pytest.mark.parametrize("pos_type", ["relative_key", "absolute", "relative_key_query"])
+def test_numerics_parity_with_torch(pos_type):
+    """Converted torch weights must reproduce the reference forward pass."""
+    torch = pytest.importorskip("torch")
+    config = ModelConfig(
+        hidden_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=6,
+        intermediate_size=192,
+        max_position_embeddings=32,
+        position_embedding_type=pos_type,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        matmul_precision="highest",
+    )
+    ref = _build_torch_reference(config, seed=17)
+
+    rng = np.random.default_rng(4)
+    b, l = 3, 32
+    x = rng.uniform(-np.pi, np.pi, size=(b, l, 6)).astype(np.float32)
+    t = rng.integers(0, 250, size=(b,))
+    lengths = np.array([32, 20, 25])
+    mask = (np.arange(l)[None, :] < lengths[:, None]).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(mask)
+        ).numpy()
+
+    params, constants = model_io.convert_torch_state_dict(ref.state_dict(), config)
+    model = BertForDiffusion(config)
+    ours = np.asarray(
+        model.apply(
+            {"params": params, "constants": constants},
+            jnp.asarray(x),
+            jnp.asarray(t),
+            jnp.asarray(mask),
+            deterministic=True,
+        )
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
+
+
+class TestTimeEmbed:
+    def test_gaussian_fourier_determinism_and_uniqueness(self):
+        """Reference test_model_subparts.py: unique encodings across t."""
+        from foldingdiff_tpu.models.time_embed import GaussianFourierProjection
+
+        m = GaussianFourierProjection(embed_dim=64)
+        variables = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((4,)))
+        t = jnp.arange(1000, dtype=jnp.float32)
+        out = np.asarray(m.apply(variables, t))
+        out2 = np.asarray(m.apply(variables, t))
+        np.testing.assert_array_equal(out, out2)
+        # All timesteps produce distinct encodings
+        assert len(np.unique(out.round(6), axis=0)) == 1000
+
+    def test_permutation_equivariance(self):
+        from foldingdiff_tpu.models.time_embed import GaussianFourierProjection
+
+        m = GaussianFourierProjection(embed_dim=64)
+        variables = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((4,)))
+        t = jnp.asarray([3.0, 7.0, 11.0, 200.0])
+        perm = np.array([2, 0, 3, 1])
+        out = np.asarray(m.apply(variables, t))
+        out_p = np.asarray(m.apply(variables, t[perm]))
+        np.testing.assert_allclose(out[perm], out_p, atol=1e-6)
+
+    def test_sinusoidal(self):
+        from foldingdiff_tpu.models.time_embed import SinusoidalPositionEmbeddings
+
+        m = SinusoidalPositionEmbeddings(embed_dim=64)
+        variables = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((4,)))
+        out = np.asarray(m.apply(variables, jnp.arange(100, dtype=jnp.float32)))
+        assert out.shape == (100, 64)
+        assert len(np.unique(out.round(6), axis=0)) == 100
