@@ -1,0 +1,527 @@
+"""
+Host-side dataset layer: PDB directories -> featurized, padded angle tensors.
+
+Capability parity with reference foldingdiff/datasets.py:
+- `AngleDataset` ~ CathCanonicalAnglesDataset (datasets.py:75-481): featurize
+  all PDBs (process pool), md5-keyed pickle cache, min-length filter,
+  leftalign/randomcrop/discard trim, shuffled 80/10/10 split with seed 6489,
+  zero-centering by the wrapped circular mean.
+- `AnglesOnlyDataset` / `MinimalAnglesDataset` / `CoordsDataset` ~ the
+  feature-subset subclasses (datasets.py:483-566).
+- `AnglesEmptyDataset` ~ the shape-only stub for sampling without data
+  (datasets.py:569-623).
+- `NoisedAnglesDataset` ~ the DDPM forward-noising wrapper (datasets.py:
+  685-886). Kept for the eval/metrics tooling and API parity; the TPU train
+  step instead noises whole batches on device (diffusion/noise.corrupt_batch),
+  which is the idiomatic-JAX replacement for per-item Dataset noising.
+- `AutoregressiveCausalDataset` ~ causal-LM wrapper (datasets.py:626-682).
+
+Everything returns numpy (no torch): batches are stacked dense arrays that
+feed jit-compiled device functions.
+"""
+from __future__ import annotations
+
+import functools
+import glob
+import hashlib
+import logging
+import multiprocessing
+import os
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from foldingdiff_tpu import utils
+from foldingdiff_tpu.data.feature_sets import (
+    FEATURE_SET_NAMES_TO_ANGULARITY,
+    FEATURE_SET_NAMES_TO_FEATURE_NAMES,
+)
+from foldingdiff_tpu.diffusion.schedules import compute_alphas, get_variance_schedule
+from foldingdiff_tpu.geometry.featurize import (
+    EXHAUSTIVE_ANGLES,
+    EXHAUSTIVE_DISTS,
+    canonical_distances_and_dihedrals,
+)
+from foldingdiff_tpu.geometry.pdb import extract_backbone_coords
+
+LOCAL_DATA_DIR = Path(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
+)
+CATH_DIR = LOCAL_DATA_DIR / "cath"
+ALPHAFOLD_DIR = LOCAL_DATA_DIR / "alphafold"
+
+TRIM_STRATEGIES = ("leftalign", "randomcrop", "discard")
+
+
+def _featurize_one(fname: str):
+    feats = canonical_distances_and_dihedrals(
+        fname, distances=EXHAUSTIVE_DISTS, angles=EXHAUSTIVE_ANGLES
+    )
+    if feats is None:
+        return None
+    coords = extract_backbone_coords(fname, atoms=("CA",))
+    if coords is None:
+        return None
+    return {"angles": feats, "coords": np.asarray(coords), "fname": fname}
+
+
+class AngleDataset:
+    """Full 9-feature (3 dists + 6 angles) dataset over a directory of PDBs."""
+
+    feature_names = {
+        "angles": ["0C:1N", "N:CA", "CA:C", "phi", "psi", "omega", "tau", "CA:C:1N", "C:1N:1CA"],
+        "coords": ["x", "y", "z"],
+    }
+    feature_is_angular = {
+        "angles": [False, False, False, True, True, True, True, True, True],
+        "coords": [False, False, False],
+    }
+
+    def __init__(
+        self,
+        pdbs: Union[str, Sequence[str]] = "cath",
+        split: Optional[str] = None,
+        pad: int = 512,
+        min_length: int = 40,
+        trim_strategy: str = "leftalign",
+        toy: int = 0,
+        zero_center: bool = True,
+        use_cache: bool = True,
+        cache_dir: Optional[str] = None,
+        n_workers: Optional[int] = None,
+    ) -> None:
+        assert pad > min_length
+        assert trim_strategy in TRIM_STRATEGIES
+        self.trim_strategy = trim_strategy
+        self.pad = pad
+        self.min_length = min_length
+        self.pdbs_src = pdbs
+        self.use_cache = use_cache
+        self.cache_dir = cache_dir or os.path.dirname(os.path.abspath(__file__))
+        self.n_workers = n_workers if n_workers is not None else (os.cpu_count() or 1)
+
+        fnames = self._get_pdb_fnames(pdbs)
+        self.fnames = fnames
+
+        # Cache keyed by package-source md5 + filename set (reference
+        # datasets.py:128-163 semantics)
+        self.structures = None
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        codebase_hash = hashlib.md5(
+            (utils.md5_all_py_files(os.path.join(pkg_dir, "data"))
+             + utils.md5_all_py_files(os.path.join(pkg_dir, "geometry"))).encode()
+        ).hexdigest()
+        codebase_matches = False
+        if toy:
+            fnames = fnames[: int(toy) if not isinstance(toy, bool) else 150]
+            logging.info(f"Loading toy dataset of {len(fnames)} structures")
+            self.structures = self._compute_featurization(fnames)
+        elif use_cache and os.path.exists(self.cache_fname):
+            logging.info(f"Loading cached dataset from {self.cache_fname}")
+            with open(self.cache_fname, "rb") as src:
+                loaded_hash, loaded_structures = pickle.load(src)
+            codebase_matches = loaded_hash == codebase_hash
+            if codebase_matches:
+                self.structures = loaded_structures
+            else:
+                logging.warning("Mismatched codebase hash; recomputing featurization")
+        if self.structures is None:
+            self._clean_mismatched_caches()
+            self.structures = self._compute_featurization(fnames)
+            if use_cache and not codebase_matches and not toy:
+                logging.info(f"Caching dataset to {self.cache_fname}")
+                with open(self.cache_fname, "wb") as sink:
+                    pickle.dump((codebase_hash, self.structures), sink)
+
+        if self.min_length:
+            orig = len(self.structures)
+            self.structures = [s for s in self.structures if len(s["angles"]) >= self.min_length]
+            logging.info(
+                f"Min-length {self.min_length} filter: {orig} -> {len(self.structures)}"
+            )
+        if self.trim_strategy == "discard":
+            orig = len(self.structures)
+            self.structures = [s for s in self.structures if len(s["angles"]) <= self.pad]
+            logging.info(f"Discard-trim to pad {self.pad}: {orig} -> {len(self.structures)}")
+
+        # Deterministic shuffle + 80/10/10 contiguous split (reference seed
+        # 6489, datasets.py:185-206)
+        self.rng = np.random.default_rng(seed=6489)
+        self.rng.shuffle(self.structures)
+        if split is not None:
+            split_idx = int(len(self.structures) * 0.8)
+            if split == "train":
+                self.structures = self.structures[:split_idx]
+            elif split == "validation":
+                self.structures = self.structures[split_idx : split_idx + int(len(self.structures) * 0.1)]
+            elif split == "test":
+                self.structures = self.structures[split_idx + int(len(self.structures) * 0.1) :]
+            else:
+                raise ValueError(f"Unknown split: {split}")
+            logging.info(f"Split {split} contains {len(self.structures)} structures")
+
+        self.means = None
+        if zero_center:
+            concat = np.concatenate([np.asarray(s["angles"]) for s in self.structures])
+            self.means = utils.wrapped_mean(concat, axis=0)
+            logging.info(f"Zero-centering features by wrapped means {self.means}")
+
+        self.all_lengths = [len(s["angles"]) for s in self.structures]
+        self._length_rng = np.random.default_rng(seed=6489)
+
+    # -- file gathering ----------------------------------------------------
+    def _get_pdb_fnames(self, pdbs) -> List[str]:
+        if isinstance(pdbs, (list, tuple)):
+            for f in pdbs:
+                assert os.path.isfile(f), f"Missing file {f}"
+            return list(pdbs)
+        if Path(pdbs).is_dir():
+            fnames = []
+            for ext in (".pdb", ".pdb.gz"):
+                fnames.extend(sorted(glob.glob(os.path.join(pdbs, f"*{ext}"))))
+            if not fnames:  # CATH dompdb files have no extension
+                fnames = sorted(glob.glob(os.path.join(pdbs, "*")))
+            assert fnames, f"No PDB files in {pdbs}"
+            return fnames
+        if pdbs == "cath":
+            fnames = sorted(glob.glob(os.path.join(CATH_DIR, "dompdb", "*")))
+            assert fnames, f"No files in {CATH_DIR}/dompdb"
+            return fnames
+        if pdbs == "alphafold":
+            fnames = sorted(glob.glob(os.path.join(ALPHAFOLD_DIR, "*.pdb.gz")))
+            assert fnames, f"No files in {ALPHAFOLD_DIR}"
+            return fnames
+        raise ValueError(f"Unknown pdb set: {pdbs}")
+
+    @property
+    def cache_fname(self) -> str:
+        k = os.path.basename(str(self.pdbs_src)) if os.path.isdir(str(self.pdbs_src)) else str(self.pdbs_src)
+        h = hashlib.md5()
+        for f in self.fnames:
+            h.update(os.path.basename(f).encode())
+        return os.path.join(self.cache_dir, f"cache_canonical_structures_{k}_{h.hexdigest()}.pkl")
+
+    def _clean_mismatched_caches(self) -> None:
+        if not self.use_cache:
+            return
+        k = os.path.basename(str(self.pdbs_src)) if os.path.isdir(str(self.pdbs_src)) else str(self.pdbs_src)
+        for fname in glob.glob(os.path.join(self.cache_dir, f"cache_canonical_structures_{k}_*.pkl")):
+            if fname != self.cache_fname:
+                logging.info(f"Removing stale cache {fname}")
+                os.remove(fname)
+
+    def _compute_featurization(self, fnames: Sequence[str]) -> List[Dict]:
+        logging.info(f"Featurizing {len(fnames)} structures with {self.n_workers} workers")
+        if self.n_workers > 1 and len(fnames) > 16:
+            with multiprocessing.Pool(self.n_workers) as pool:
+                results = pool.map(_featurize_one, fnames, chunksize=32)
+        else:
+            results = [_featurize_one(f) for f in fnames]
+        return [r for r in results if r is not None]
+
+    # -- public API (reference parity) --------------------------------------
+    def sample_length(self, n: int = 1):
+        assert n > 0
+        if n == 1:
+            return int(self._length_rng.choice(self.all_lengths))
+        return self._length_rng.choice(self.all_lengths, size=n, replace=True).tolist()
+
+    def get_masked_means(self) -> Optional[np.ndarray]:
+        return None if self.means is None else np.copy(self.means)
+
+    def set_masked_means(self, values: np.ndarray) -> None:
+        assert self.means is not None
+        self.means = np.copy(values)
+
+    @functools.cached_property
+    def filenames(self) -> List[str]:
+        return [s["fname"] for s in self.structures]
+
+    def __len__(self) -> int:
+        return len(self.structures)
+
+    def _feature_subset(self, angles: np.ndarray) -> np.ndarray:
+        return angles  # base class keeps all 9
+
+    def __getitem__(self, index: int, ignore_zero_center: bool = False) -> Dict[str, np.ndarray]:
+        if not 0 <= index < len(self):
+            raise IndexError("Index out of range")
+        angles_df = self.structures[index]["angles"]
+        coords = np.asarray(self.structures[index]["coords"], dtype=np.float64)
+        angles = np.asarray(angles_df, dtype=np.float64)
+        col_names = list(angles_df.columns)
+        assert col_names == AngleDataset.feature_names["angles"], col_names
+
+        if self.means is not None and not ignore_zero_center:
+            angles = angles - self.means
+            colon_count = np.array([c.count(":") for c in col_names])
+            angular_idx = np.where(colon_count != 1)[0]
+            angles[:, angular_idx] = utils.modulo_with_wrapped_range(
+                angles[:, angular_idx], -np.pi, np.pi
+            )
+
+        angles = np.nan_to_num(angles, nan=0.0)
+
+        l = min(self.pad, angles.shape[0])
+        attn_mask = np.zeros(self.pad, dtype=np.float32)
+        attn_mask[:l] = 1.0
+
+        if angles.shape[0] < self.pad:
+            pad_n = self.pad - angles.shape[0]
+            angles = np.pad(angles, ((0, pad_n), (0, 0)))
+            coords = np.pad(coords, ((0, self.pad - coords.shape[0]), (0, 0)))
+        elif angles.shape[0] > self.pad:
+            if self.trim_strategy == "leftalign":
+                angles = angles[: self.pad]
+                coords = coords[: self.pad]
+            elif self.trim_strategy == "randomcrop":
+                start = self.rng.integers(0, angles.shape[0] - self.pad)
+                angles = angles[start : start + self.pad]
+                coords = coords[start : start + self.pad]
+            else:
+                raise ValueError(f"Unknown trim strategy: {self.trim_strategy}")
+
+        angular_idx = np.where(AngleDataset.feature_is_angular["angles"])[0]
+        assert utils.tolerant_comparison_check(angles[:, angular_idx], ">=", -np.pi)
+        assert utils.tolerant_comparison_check(angles[:, angular_idx], "<=", np.pi)
+
+        return {
+            "angles": self._feature_subset(angles.astype(np.float32)),
+            "coords": coords.astype(np.float32),
+            "attn_mask": attn_mask,
+            "position_ids": np.arange(self.pad, dtype=np.int64),
+            "lengths": np.int64(l),
+        }
+
+    def to_arrays(self) -> Dict[str, np.ndarray]:
+        """Stack the whole dataset into dense arrays for device feeding."""
+        items = [self[i] for i in range(len(self))]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class AnglesOnlyDataset(AngleDataset):
+    """6-angle feature subset (reference CathCanonicalAnglesOnlyDataset)."""
+
+    feature_names = {"angles": ["phi", "psi", "omega", "tau", "CA:C:1N", "C:1N:1CA"]}
+    feature_is_angular = {"angles": [True, True, True, True, True, True]}
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        base = AngleDataset.feature_names["angles"]
+        self.feature_idx = [base.index(ft) for ft in self.feature_names["angles"]]
+
+    def get_masked_means(self) -> Optional[np.ndarray]:
+        if self.means is None:
+            return None
+        return np.copy(self.means)[self.feature_idx]
+
+    def set_masked_means(self, values: np.ndarray) -> None:
+        assert self.means is not None
+        self.means[self.feature_idx] = np.copy(values)
+
+    def _feature_subset(self, angles: np.ndarray) -> np.ndarray:
+        sub = angles[:, self.feature_idx]
+        assert sub.min() >= -np.pi - 1e-5 and sub.max() <= np.pi + 1e-5
+        return sub
+
+
+class MinimalAnglesDataset(AnglesOnlyDataset):
+    """phi/psi/omega/tau only (reference CathCanonicalMinimalAnglesDataset)."""
+
+    feature_names = {"angles": ["phi", "psi", "omega", "tau"]}
+    feature_is_angular = {"angles": [True, True, True, True]}
+
+
+class CoordsDataset(AngleDataset):
+    """CA xyz coordinates (reference CathCanonicalCoordsDataset)."""
+
+    feature_names = {"coords": ["x", "y", "z"]}
+    feature_is_angular = {"coords": [False, False, False]}
+
+    def __getitem__(self, index: int, ignore_zero_center: bool = True):
+        item = super().__getitem__(index, ignore_zero_center=ignore_zero_center)
+        item.pop("angles", None)
+        return item
+
+
+DATASET_CLASSES = {
+    "canonical": AngleDataset,
+    "canonical-full-angles": AnglesOnlyDataset,
+    "canonical-minimal-angles": MinimalAnglesDataset,
+    "cart-coords": CoordsDataset,
+}
+
+
+class AnglesEmptyDataset:
+    """Shape-only stub so sampling can run with no data on disk
+    (reference datasets.py:569-623)."""
+
+    def __init__(self, feature_set_key: str, pad: int = 128, mean_offset: Optional[np.ndarray] = None):
+        k = "coords" if feature_set_key == "cart-coords" else "angles"
+        self.feature_is_angular = {k: FEATURE_SET_NAMES_TO_ANGULARITY[feature_set_key]}
+        self.feature_names = {k: FEATURE_SET_NAMES_TO_FEATURE_NAMES[feature_set_key]}
+        self.pad = pad
+        self._mean_offset = mean_offset
+        if self._mean_offset is not None:
+            assert np.asarray(self._mean_offset).size == len(self.feature_names[k])
+
+    @classmethod
+    def from_dir(cls, dirname: str) -> "AnglesEmptyDataset":
+        import json
+
+        with open(os.path.join(dirname, "training_args.json")) as f:
+            train_args = json.load(f)
+        offset_file = os.path.join(dirname, "training_mean_offset.npy")
+        mean_offset = np.load(offset_file) if os.path.isfile(offset_file) else None
+        return cls(
+            feature_set_key=train_args["angles_definitions"],
+            pad=train_args["max_seq_len"],
+            mean_offset=mean_offset,
+        )
+
+    def get_masked_means(self) -> np.ndarray:
+        if self._mean_offset is None:
+            raise NotImplementedError
+        return np.copy(self._mean_offset)
+
+
+class NoisedAnglesDataset:
+    """
+    Per-item DDPM forward noising, reference datasets.py:685-886. Retained for
+    metrics/eval parity (KL-vs-timestep needs noised snapshots at fixed t);
+    the training path noises whole batches on device instead.
+    """
+
+    def __init__(
+        self,
+        dset,
+        dset_key: str = "angles",
+        timesteps: int = 250,
+        exhaustive_t: bool = False,
+        beta_schedule: str = "linear",
+        nonangular_variance: float = 1.0,
+        angular_variance: float = 1.0,
+        seed: Optional[int] = None,
+    ) -> None:
+        self.dset = dset
+        self.dset_key = dset_key
+        self.n_features = len(dset.feature_is_angular[dset_key])
+        self.nonangular_var_scale = nonangular_variance
+        self.angular_var_scale = angular_variance
+        self.timesteps = timesteps
+        self.schedule = beta_schedule
+        self.exhaustive_timesteps = exhaustive_t
+        betas = get_variance_schedule(beta_schedule, timesteps)
+        self.alpha_beta_terms = {k: np.asarray(v) for k, v in compute_alphas(betas).items()}
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def feature_names(self):
+        return self.dset.feature_names
+
+    @property
+    def feature_is_angular(self):
+        return self.dset.feature_is_angular
+
+    @property
+    def pad(self):
+        return self.dset.pad
+
+    @property
+    def filenames(self):
+        return self.dset.filenames
+
+    def sample_length(self, *args, **kwargs):
+        return self.dset.sample_length(*args, **kwargs)
+
+    def __len__(self) -> int:
+        n = len(self.dset)
+        return n * self.timesteps if self.exhaustive_timesteps else n
+
+    def sample_noise(self, vals: np.ndarray) -> np.ndarray:
+        noise = self._rng.standard_normal(vals.shape).astype(np.float32)
+        is_ang = np.asarray(self.dset.feature_is_angular[self.dset_key])
+        scales = np.where(is_ang, self.angular_var_scale, self.nonangular_var_scale)
+        noise = noise * scales.astype(np.float32)
+        ang_idx = np.where(is_ang)[0]
+        noise[..., ang_idx] = utils.modulo_with_wrapped_range(noise[..., ang_idx], -np.pi, np.pi)
+        return noise
+
+    def __getitem__(
+        self, index: int, use_t_val: Optional[int] = None, ignore_zero_center: bool = False
+    ) -> Dict[str, np.ndarray]:
+        assert 0 <= index < len(self)
+        if self.exhaustive_timesteps:
+            item_index = index // self.timesteps
+            time_index = index % self.timesteps
+            item = self.dset.__getitem__(item_index, ignore_zero_center=ignore_zero_center)
+        else:
+            item = self.dset.__getitem__(index, ignore_zero_center=ignore_zero_center)
+
+        vals = np.copy(item[self.dset_key])
+
+        if use_t_val is not None:
+            assert not self.exhaustive_timesteps
+            t = int(np.clip(use_t_val, 0, self.timesteps - 1))
+        elif self.exhaustive_timesteps:
+            t = int(time_index)
+        else:
+            t = int(self._rng.integers(0, self.timesteps))
+
+        sqrt_ac = np.float32(self.alpha_beta_terms["sqrt_alphas_cumprod"][t])
+        sqrt_omac = np.float32(self.alpha_beta_terms["sqrt_one_minus_alphas_cumprod"][t])
+        noise = self.sample_noise(vals)
+        noised = sqrt_ac * vals + sqrt_omac * noise
+        ang_idx = np.where(self.dset.feature_is_angular[self.dset_key])[0]
+        noised[:, ang_idx] = utils.modulo_with_wrapped_range(noised[:, ang_idx], -np.pi, np.pi)
+
+        retval = {
+            "corrupted": noised.astype(np.float32),
+            "t": np.array([t], dtype=np.int64),
+            "known_noise": noise.astype(np.float32),
+            "sqrt_alphas_cumprod_t": sqrt_ac,
+            "sqrt_one_minus_alphas_cumprod_t": sqrt_omac,
+        }
+        assert set(item.keys()).isdisjoint(retval.keys())
+        item.update(retval)
+        return item
+
+
+class AutoregressiveCausalDataset:
+    """Causal-LM wrapper (reference datasets.py:626-682)."""
+
+    def __init__(self, dset, dset_key: str = "angles", seed: Optional[int] = None) -> None:
+        self.dset = dset
+        self.dset_key = dset_key
+        assert dset_key in dset.feature_is_angular
+        self.n_features = len(dset.feature_is_angular[dset_key])
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def feature_names(self):
+        return self.dset.feature_names
+
+    @property
+    def feature_is_angular(self):
+        return self.dset.feature_is_angular
+
+    @property
+    def pad(self):
+        return self.dset.pad
+
+    def __len__(self) -> int:
+        return len(self.dset)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        item = self.dset[index]
+        orig_len = int(item["lengths"])
+        assert orig_len <= self.dset.pad
+        causal_len = int(self._rng.integers(1, orig_len))
+        causal_attn_mask = np.zeros_like(item["attn_mask"])
+        causal_attn_mask[:causal_len] = 1.0
+        item["causal_attn_mask"] = causal_attn_mask
+        item["causal_target"] = item[self.dset_key][causal_len]
+        item["causal_idx"] = np.int64(causal_len)
+        return item

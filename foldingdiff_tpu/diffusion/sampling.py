@@ -1,0 +1,196 @@
+"""
+Reverse-diffusion (DDPM ancestral) sampling, compiled to a single lax.scan.
+
+Reference behavior: foldingdiff/sampling.py:27-224.
+- p_sample (DDPM Eq. 11): mean = 1/sqrt(a_t) (x - b_t * eps_pred / sqrt(1-abar_t)),
+  plus sqrt(posterior_variance_t) noise for t > 0 (sampling.py:60-75)
+- per-feature angular wrap after EVERY step (sampling.py:118-130)
+- x_T ~ wrapped N(0, scale) from the dataset noiser (sampling.py:182-188)
+- mean-offset un-shift + re-wrap at the end (sampling.py:208-223)
+
+The reference runs a python loop with a host sync + CPU copy per timestep
+(sampling.py:131); here the T-step loop is one lax.scan inside jit -- zero
+host round-trips -- and the batch axis can be sharded over a device mesh
+(see parallel/mesh.py). Full-history mode returns the scan's stacked ys.
+"""
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foldingdiff_tpu.diffusion.noise import sample_wrapped_noise
+from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+from foldingdiff_tpu.ops.angles import wrap_angles
+from foldingdiff_tpu.utils import modulo_with_wrapped_range
+
+
+def p_sample_step(
+    model_fn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    key: jax.Array,
+    attn_mask: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    is_angular: jnp.ndarray,
+) -> jnp.ndarray:
+    """
+    One reverse step at (scalar) timestep t. model_fn(x, t_vec, mask) -> eps.
+    Adds posterior noise only when t > 0, then wraps angular channels.
+    """
+    b = x.shape[0]
+    t_vec = jnp.full((b,), t, dtype=jnp.int32)
+    eps_pred = model_fn(x, t_vec, attn_mask)
+
+    sqrt_recip_alpha_t = schedule.sqrt_recip_alphas[t]
+    beta_t = schedule.betas[t]
+    sqrt_omac_t = schedule.sqrt_one_minus_alphas_cumprod[t]
+    model_mean = sqrt_recip_alpha_t * (x - beta_t * eps_pred / sqrt_omac_t)
+
+    noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    sigma_t = schedule.sqrt_posterior_variance[t]
+    x_next = model_mean + jnp.where(t > 0, sigma_t, 0.0) * noise
+
+    is_angular = jnp.asarray(is_angular, dtype=bool)
+    return jnp.where(is_angular, wrap_angles(x_next), x_next)
+
+
+def p_sample_loop(
+    model_fn,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    attn_mask: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    is_angular,
+    return_history: bool = False,
+) -> jnp.ndarray:
+    """
+    Full reverse chain T-1 .. 0 as one scan. Returns final x (B, L, F), or the
+    full (T, B, L, F) trajectory when return_history (reference keeps history
+    always; we make it opt-in to avoid the T-times memory).
+    """
+    timesteps = schedule.timesteps
+    is_angular = jnp.asarray(np.asarray(is_angular, dtype=bool))
+    keys = jax.random.split(key, timesteps)
+
+    def step(x, scan_in):
+        t, k = scan_in
+        x_next = p_sample_step(model_fn, x, t, k, attn_mask, schedule, is_angular)
+        return x_next, (x_next if return_history else None)
+
+    ts = jnp.arange(timesteps - 1, -1, -1)
+    x_final, hist = jax.lax.scan(step, noise, (ts, keys))
+    return hist if return_history else x_final
+
+
+def build_sampler(
+    model,
+    params,
+    constants,
+    schedule: DiffusionSchedule,
+    is_angular,
+    return_history: bool = False,
+):
+    """
+    jit-compiled sampler closure: (noise, attn_mask, key) -> samples.
+    Weights are closed over as donated-style constants; one compilation per
+    (batch, length) shape.
+    """
+    variables = {"params": params, "constants": constants}
+
+    def model_fn(x, t_vec, mask):
+        return model.apply(variables, x, t_vec, mask, deterministic=True)
+
+    @jax.jit
+    def sampler(noise, attn_mask, key):
+        return p_sample_loop(
+            model_fn, noise, key, attn_mask, schedule, is_angular, return_history
+        )
+
+    return sampler
+
+
+def sample(
+    model,
+    params,
+    constants,
+    schedule: DiffusionSchedule,
+    *,
+    is_angular: Sequence[bool],
+    pad: int,
+    n: int = 10,
+    sweep_lengths: Optional[Tuple[int, int]] = (50, 128),
+    lengths: Optional[Sequence[int]] = None,
+    batch_size: int = 512,
+    angular_variance: float = 1.0,
+    nonangular_variance: float = 1.0,
+    mean_offset: Optional[np.ndarray] = None,
+    seed: int = 0x1234,
+    trim_to_length: bool = True,
+    return_history: bool = False,
+    shard_fn=None,
+) -> List[np.ndarray]:
+    """
+    Batched sampling with a length sweep (reference sampling.sample,
+    sampling.py:135-224). Returns a list of (length, F) arrays -- or
+    (T, length, F) with return_history -- one per requested structure, with
+    the training mean offset re-applied and angular features re-wrapped.
+
+    `shard_fn` optionally places each batch onto a device mesh (data-parallel
+    sampling); see parallel/mesh.py:shard_batch.
+    """
+    if lengths is None:
+        assert sweep_lengths is not None
+        sweep_min, sweep_max = sweep_lengths
+        if not sweep_min < sweep_max:
+            raise ValueError(f"Min length {sweep_min} must be < max {sweep_max}")
+        lengths = [l for l in range(sweep_min, sweep_max) for _ in range(n)]
+    lengths = list(lengths)
+    logging.info(f"Sampling {len(lengths)} items in batches of {batch_size}")
+
+    is_angular_arr = np.asarray(is_angular, dtype=bool)
+    n_ft = len(is_angular_arr)
+    sampler = build_sampler(model, params, constants, schedule, is_angular_arr, return_history)
+
+    master_key = jax.random.PRNGKey(seed)
+    retval: List[np.ndarray] = []
+    chunks = [lengths[i : i + batch_size] for i in range(0, len(lengths), batch_size)]
+    for chunk_i, this_lengths in enumerate(chunks):
+        b = len(this_lengths)
+        seq_len = max(this_lengths) if trim_to_length else pad
+        # Bucket to multiples of 8 sublanes for fewer recompiles + tile alignment
+        seq_len = min(pad, -(-seq_len // 8) * 8) if trim_to_length else pad
+
+        key = jax.random.fold_in(master_key, chunk_i)
+        noise_key, loop_key = jax.random.split(key)
+        noise = sample_wrapped_noise(
+            noise_key, (b, seq_len, n_ft), is_angular_arr, angular_variance, nonangular_variance
+        )
+        attn_mask = (np.arange(seq_len)[None, :] < np.asarray(this_lengths)[:, None]).astype(
+            np.float32
+        )
+        attn_mask = jnp.asarray(attn_mask)
+        if shard_fn is not None:
+            noise, attn_mask = shard_fn(noise, attn_mask)
+        sampled = np.asarray(jax.device_get(sampler(noise, attn_mask, loop_key)))
+        if return_history:
+            retval.extend(sampled[:, i, :l, :] for i, l in enumerate(this_lengths))
+        else:
+            retval.extend(sampled[i, :l, :] for i, l in enumerate(this_lengths))
+
+    if mean_offset is not None:
+        mean_offset = np.asarray(mean_offset)
+        logging.info(f"Shifting predicted values by original offset: {mean_offset}")
+        angular_idx = np.where(is_angular_arr)[0]
+        shifted = []
+        for s in retval:
+            s = s + mean_offset
+            s[..., angular_idx] = modulo_with_wrapped_range(
+                s[..., angular_idx], -np.pi, np.pi
+            )
+            shifted.append(s)
+        retval = shifted
+    return retval
