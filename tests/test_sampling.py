@@ -197,7 +197,9 @@ class TestMeshShardedSampling(_TinyModelMixin):
 
         model, variables = self.get_model()
         model = BertForDiffusion(dataclasses.replace(self.CONFIG, matmul_precision="highest"))
-        sched = DiffusionSchedule.create("cosine", 6)
+        # linear schedule: cosine's clipped beta gives 1/sqrt(alpha)~100 which
+        # amplifies benign f32 reassociation differences into visible drift
+        sched = DiffusionSchedule.create("linear", 6)
         mesh = make_mesh()
         assert mesh.size == 8, f"Expected 8 virtual devices, got {mesh.size}"
 
