@@ -1,0 +1,425 @@
+"""
+Training loop: the TPU-native replacement for the reference's
+pytorch-lightning trainer (bin/train.py:287-507 + modelling.py:487-804).
+
+Semantics preserved:
+- loss: per-feature wrapped smooth-L1 (beta=pi/10) on predicted vs known noise
+  over unmasked positions, averaged over features (modelling.py:553-706);
+  optional circle penalty, L1/L2 regularization, and the pairwise-CA-distance
+  auxiliary loss computed through NeRF (modelling.py:616-677)
+- AdamW (weight_decay=l2) + gradient clip, LinearWarmup stepped per EPOCH with
+  10% warmup (modelling.py:762-804), or OneCycle-style schedule
+- checkpointing: top-5 by val_loss and by train_loss into
+  models/best_by_{valid,train}/ (bin/train.py:214-233)
+- CSV metrics (per-feature losses + lr) like the lightning CSVLogger
+
+TPU-native differences:
+- forward noising q(x_t|x_0) runs ON DEVICE inside the jitted train step
+  (one fused program: noise -> forward -> loss -> grads -> update) instead of
+  CPU Dataset workers
+- data parallelism is a jax.sharding Mesh: batch sharded, params replicated,
+  XLA inserts the gradient all-reduce -- replacing lightning DDP/NCCL
+  (bin/train.py:469-476)
+- the GaussianFourier time-embed buffer lives in a `constants` collection,
+  excluded from the optimizer by construction
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from foldingdiff_tpu import losses as loss_lib
+from foldingdiff_tpu.diffusion.noise import q_sample, sample_wrapped_noise
+from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+from foldingdiff_tpu.geometry import nerf
+from foldingdiff_tpu.models import io as model_io
+from foldingdiff_tpu.models.bert import BertForDiffusion
+from foldingdiff_tpu.models.config import ModelConfig
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 5e-5
+    loss: str = "smooth_l1"  # smooth_l1 | l1
+    l2_norm: float = 0.0
+    l1_norm: float = 0.0
+    circle_reg: float = 0.0
+    gradient_clip: float = 1.0
+    batch_size: int = 64
+    min_epochs: Optional[int] = None
+    max_epochs: int = 10000
+    lr_scheduler: Optional[str] = "LinearWarmup"  # LinearWarmup | OneCycleLR | None
+    early_stop_patience: int = 0
+    use_pdist_loss: Any = 0.0  # float or (min, max) interpolated over timesteps
+    angular_variance: float = 1.0
+    nonangular_variance: float = 1.0
+    seed: int = 42
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    constants: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
+    """LR as a function of the global step, mirroring the reference's
+    per-epoch-stepped schedules (modelling.py:772-800)."""
+    total_epochs = max(cfg.max_epochs, 1)
+    if cfg.lr_scheduler is None:
+        return lambda step: cfg.lr
+    if cfg.lr_scheduler == "LinearWarmup":
+        warmup_epochs = int(total_epochs * 0.1)
+
+        def schedule(step):
+            epoch = step // max(steps_per_epoch, 1)
+            if warmup_epochs > 0:
+                warm = jnp.minimum((epoch.astype(jnp.float32) + 0.0) / warmup_epochs, 1.0)
+            else:
+                warm = 1.0
+            decay = jnp.maximum(
+                (total_epochs - epoch.astype(jnp.float32)) / max(total_epochs - warmup_epochs, 1),
+                0.0,
+            )
+            return cfg.lr * jnp.where(epoch < warmup_epochs, warm, jnp.minimum(decay, 1.0))
+
+        return schedule
+    if cfg.lr_scheduler == "OneCycleLR":
+        total_steps = total_epochs * max(steps_per_epoch, 1)
+        return optax.cosine_onecycle_schedule(transition_steps=total_steps, peak_value=1e-2)
+    raise ValueError(f"Unknown lr scheduler {cfg.lr_scheduler}")
+
+
+def build_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip) if cfg.gradient_clip else optax.identity(),
+        optax.adamw(learning_rate=schedule, weight_decay=cfg.l2_norm),
+    )
+
+
+def _per_feature_losses(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray,
+    is_angular: Tuple[bool, ...],
+    loss_name: str,
+    circle_reg: float,
+) -> jnp.ndarray:
+    """Per-feature masked losses, stacked (F,). Angular features use the
+    wrapped loss with beta=pi/10 (modelling.py:228-233)."""
+    terms = []
+    m = mask  # (B, L)
+    for i, ang in enumerate(is_angular):
+        p, t = pred[..., i], target[..., i]
+        if loss_name == "smooth_l1":
+            if ang:
+                terms.append(
+                    loss_lib.radian_smooth_l1_loss(
+                        p, t, beta=np.pi / 10, circle_penalty=circle_reg, mask=m
+                    )
+                )
+            else:
+                terms.append(loss_lib.smooth_l1_loss(p, t, beta=1.0, mask=m))
+        elif loss_name == "l1":
+            terms.append(
+                loss_lib.radian_l1_loss(p, t, mask=m) if ang else loss_lib.l1_loss(p, t, mask=m)
+            )
+        else:
+            raise ValueError(f"Unknown loss {loss_name}")
+    return jnp.stack(terms)
+
+
+class Trainer:
+    """
+    Orchestrates jitted train/val steps over stacked host arrays.
+
+    data format: dict with "angles" (N, pad, F), "attn_mask" (N, pad),
+    "lengths" (N,) -- the output of AngleDataset.to_arrays().
+    """
+
+    def __init__(
+        self,
+        model: BertForDiffusion,
+        schedule: DiffusionSchedule,
+        train_cfg: TrainConfig,
+        steps_per_epoch: int,
+        mesh=None,
+    ) -> None:
+        self.model = model
+        self.schedule = schedule
+        self.cfg = train_cfg
+        self.mesh = mesh
+        self.tx = build_optimizer(train_cfg, steps_per_epoch)
+        self.lr_schedule = make_lr_schedule(train_cfg, steps_per_epoch)
+        self.is_angular = tuple(model.config.ft_is_angular)
+        self.ft_names = tuple(model.config.ft_names)
+        self._train_step = jax.jit(self._step_impl, static_argnames=("train",), donate_argnums=(0,))
+        self._eval_step = jax.jit(self._loss_impl)
+
+    def init_state(self, key: jax.Array, pad: int) -> TrainState:
+        variables = model_io.init_model_variables(self.model, key, pad=pad)
+        params, constants = variables["params"], variables.get("constants", {})
+        state = TrainState(
+            step=jnp.zeros((), dtype=jnp.int32),
+            params=params,
+            constants=constants,
+            opt_state=self.tx.init(params),
+            tx=self.tx,
+        )
+        if self.mesh is not None:
+            from foldingdiff_tpu.parallel.mesh import replicate
+
+            state = state.replace(
+                params=replicate(self.mesh, state.params),
+                constants=replicate(self.mesh, state.constants),
+                opt_state=replicate(self.mesh, state.opt_state),
+            )
+        return state
+
+    # -- core loss ----------------------------------------------------------
+    def _loss_terms(self, params, constants, batch, rng, deterministic):
+        cfg = self.cfg
+        x0 = batch["angles"]
+        mask = batch["attn_mask"]
+        t_key, n_key, d_key = jax.random.split(rng, 3)
+        b = x0.shape[0]
+        t = jax.random.randint(t_key, (b,), 0, self.schedule.timesteps)
+        noise = sample_wrapped_noise(
+            n_key, x0.shape, self.is_angular, cfg.angular_variance, cfg.nonangular_variance,
+            dtype=x0.dtype,
+        )
+        corrupted = q_sample(x0, t, noise, self.schedule, self.is_angular)
+        pred = self.model.apply(
+            {"params": params, "constants": constants},
+            corrupted,
+            t,
+            mask,
+            deterministic=deterministic,
+            rngs={"dropout": d_key} if not deterministic else {},
+        )
+        terms = _per_feature_losses(
+            pred, noise, mask, self.is_angular, cfg.loss, cfg.circle_reg
+        )
+
+        use_pdist = cfg.use_pdist_loss
+        if (isinstance(use_pdist, (list, tuple)) and use_pdist[0] > 0) or (
+            not isinstance(use_pdist, (list, tuple)) and use_pdist > 0
+        ):
+            terms = jnp.concatenate(
+                [terms, self._pdist_loss(batch, corrupted, pred, t)[None]]
+            )
+        return terms
+
+    def _pdist_loss(self, batch, corrupted, pred, t):
+        """Auxiliary pairwise-CA-distance loss (modelling.py:616-677)."""
+        cfg = self.cfg
+        names = list(self.ft_names)
+        sqrt_ac = self.schedule.sqrt_alphas_cumprod[t][:, None, None]
+        sqrt_omac = self.schedule.sqrt_one_minus_alphas_cumprod[t][:, None, None]
+        denoised = (corrupted - sqrt_omac * pred) / sqrt_ac
+        known = batch["angles"]
+
+        def build(angles):
+            return nerf.nerf_build_batch(
+                phi=angles[:, :, names.index("phi")],
+                psi=angles[:, :, names.index("psi")],
+                omega=angles[:, :, names.index("omega")],
+                bond_angle_n_ca_c=angles[:, :, names.index("tau")],
+                bond_angle_ca_c_n=angles[:, :, names.index("CA:C:1N")],
+                bond_angle_c_n_ca=angles[:, :, names.index("C:1N:1CA")],
+            )
+
+        inferred_ca = build(known)[:, 1::3, :]
+        denoised_ca = build(denoised)[:, 1::3, :]
+        if isinstance(cfg.use_pdist_loss, (list, tuple)):
+            min_c, max_c = cfg.use_pdist_loss[:2]
+            max_t = self.schedule.timesteps
+            coef = min_c + (max_c - min_c) * ((max_t - t.astype(jnp.float32)) / max_t)
+        else:
+            coef = jnp.asarray(cfg.use_pdist_loss, dtype=jnp.float32)
+        return loss_lib.pairwise_dist_loss(
+            denoised_ca, inferred_ca, lengths=batch["lengths"], weights=coef
+        )
+
+    def _loss_impl(self, params, constants, batch, rng):
+        return self._loss_terms(params, constants, batch, rng, deterministic=True)
+
+    def _step_impl(self, state: TrainState, batch, rng, train: bool = True):
+        def loss_fn(params):
+            terms = self._loss_terms(params, state.constants, batch, rng, deterministic=False)
+            avg = jnp.mean(terms)
+            if self.cfg.l1_norm > 0:
+                l1 = sum(
+                    jnp.sum(jnp.abs(p)) for p in jax.tree.leaves(params)
+                )
+                avg = avg + self.cfg.l1_norm * l1
+            return avg, terms
+
+        (avg, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, avg, terms
+
+    # -- epoch loops ---------------------------------------------------------
+    def _batches(self, data: Dict[str, np.ndarray], rng: np.random.Generator, shuffle: bool):
+        n = data["angles"].shape[0]
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        bs = self.cfg.batch_size
+        # Drop ragged tail only if it would break mesh divisibility
+        for start in range(0, n - bs + 1 if n >= bs else 1, bs):
+            sel = idx[start : start + bs]
+            batch = {
+                "angles": data["angles"][sel],
+                "attn_mask": data["attn_mask"][sel],
+                "lengths": data["lengths"][sel],
+            }
+            if self.mesh is not None:
+                from foldingdiff_tpu.parallel.mesh import shard_batch
+
+                batch = dict(
+                    zip(
+                        batch.keys(),
+                        shard_batch(self.mesh, *batch.values()),
+                    )
+                )
+            yield batch
+
+    def fit(
+        self,
+        state: TrainState,
+        train_data: Dict[str, np.ndarray],
+        valid_data: Optional[Dict[str, np.ndarray]] = None,
+        results_dir: Optional[str] = None,
+        model_config: Optional[ModelConfig] = None,
+        train_args: Optional[dict] = None,
+        mean_offset: Optional[np.ndarray] = None,
+        log_every: int = 0,
+    ) -> Tuple[TrainState, List[Dict[str, float]]]:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        host_rng = np.random.default_rng(cfg.seed)
+        metrics_rows: List[Dict[str, float]] = []
+        pseudo_names = list(self.ft_names)
+        if (isinstance(cfg.use_pdist_loss, (list, tuple)) and cfg.use_pdist_loss[0] > 0) or (
+            not isinstance(cfg.use_pdist_loss, (list, tuple)) and cfg.use_pdist_loss > 0
+        ):
+            pseudo_names.append("pairwise_dist_loss")
+
+        best_valid: List[Tuple[float, int, str]] = []
+        best_train: List[Tuple[float, int, str]] = []
+        patience_count, best_val_loss = 0, float("inf")
+
+        for epoch in range(cfg.max_epochs):
+            t0 = time.time()
+            train_losses = []
+            for batch in self._batches(train_data, host_rng, shuffle=True):
+                key, step_key = jax.random.split(key)
+                state, avg, terms = self._train_step(state, batch, step_key)
+                train_losses.append((float(avg), np.asarray(terms)))
+            train_loss = float(np.mean([l for l, _ in train_losses])) if train_losses else np.nan
+            train_terms = (
+                np.mean(np.stack([t for _, t in train_losses]), axis=0)
+                if train_losses
+                else np.full(len(pseudo_names), np.nan)
+            )
+
+            val_loss, val_terms = np.nan, np.full(len(pseudo_names), np.nan)
+            if valid_data is not None:
+                vlosses = []
+                for batch in self._batches(valid_data, host_rng, shuffle=False):
+                    key, step_key = jax.random.split(key)
+                    terms = self._eval_step(state.params, state.constants, batch, step_key)
+                    vlosses.append(np.asarray(terms))
+                if vlosses:
+                    val_terms = np.mean(np.stack(vlosses), axis=0)
+                    val_loss = float(np.mean(val_terms))
+
+            row = {"epoch": epoch, "step": int(state.step), "train_loss": train_loss,
+                   "val_loss": val_loss, "lr": float(self.lr_schedule(jnp.asarray(int(state.step)))),
+                   "epoch_seconds": time.time() - t0}
+            for name, tv, vv in zip(pseudo_names, train_terms, val_terms):
+                row[f"train_loss_{name}"] = float(tv)
+                row[f"val_loss_{name}"] = float(vv)
+            metrics_rows.append(row)
+            if log_every and epoch % log_every == 0:
+                logging.info(
+                    f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} ({row['epoch_seconds']:.1f}s)"
+                )
+
+            if results_dir is not None and model_config is not None:
+                self._write_metrics_csv(results_dir, metrics_rows)
+                params_host = jax.device_get(state.params)
+                constants_host = jax.device_get(state.constants)
+                self._save_topk(
+                    results_dir, model_config, params_host, constants_host,
+                    train_args or {}, mean_offset, epoch,
+                    val_loss if valid_data is not None else train_loss, "valid", best_valid,
+                )
+                self._save_topk(
+                    results_dir, model_config, params_host, constants_host,
+                    train_args or {}, mean_offset, epoch, train_loss, "train", best_train,
+                )
+
+            # Early stopping on val loss (reference EarlyStopping callback)
+            if cfg.early_stop_patience and valid_data is not None:
+                if val_loss < best_val_loss:
+                    best_val_loss, patience_count = val_loss, 0
+                else:
+                    patience_count += 1
+                min_ep = cfg.min_epochs or 0
+                if patience_count >= cfg.early_stop_patience and epoch + 1 >= min_ep:
+                    logging.info(f"Early stopping at epoch {epoch}")
+                    break
+        return state, metrics_rows
+
+    def _save_topk(
+        self, results_dir, model_config, params, constants, train_args, mean_offset,
+        epoch, metric, best_by, heap: List[Tuple[float, int, str]], k: int = 5,
+    ):
+        if np.isnan(metric):
+            return
+        subdir = os.path.join(results_dir, "models", f"best_by_{best_by}")
+        if len(heap) >= k and metric >= max(h[0] for h in heap):
+            return
+        path = model_io.save_model_dir(
+            results_dir, model_config, params, constants, train_args,
+            mean_offset=mean_offset, epoch=epoch, best_by=best_by, keep_top_k=10**9,
+        )
+        heap.append((metric, epoch, path))
+        heap.sort()
+        while len(heap) > k:
+            _, _, stale = heap.pop()
+            if os.path.exists(stale):
+                os.remove(stale)
+
+    @staticmethod
+    def _write_metrics_csv(results_dir: str, rows: List[Dict[str, float]]):
+        os.makedirs(os.path.join(results_dir, "logs"), exist_ok=True)
+        out = os.path.join(results_dir, "logs", "metrics.csv")
+        if not rows:
+            return
+        with open(out, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
