@@ -1,0 +1,91 @@
+"""
+Benchmark: the manuscript sampling protocol -- 10 backbones per length in
+[50, 128) = 780 structures, T=1000 DDPM steps, batch 512 -- on the flagship
+model config (12x384 BERT, relative_key), matching README.md:84-85 +
+bin/sample.py:255-268 of the reference.
+
+Baseline: the reference samples 512 structures in ~7 min on an RTX 2080Ti
+(README.md:100-102) = 1.219 backbones/sec. vs_baseline is our backbones/sec
+over that rate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+
+    from foldingdiff_tpu.diffusion import sampling as samp
+    from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from foldingdiff_tpu.models import io as model_io
+    from foldingdiff_tpu.models.bert import BertForDiffusion
+    from foldingdiff_tpu.models.config import ModelConfig
+
+    n_per_length = int(os.environ.get("BENCH_N_PER_LENGTH", "10"))
+    timesteps = int(os.environ.get("BENCH_TIMESTEPS", "1000"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "512"))
+
+    config = ModelConfig(
+        hidden_size=384,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        intermediate_size=768,
+        max_position_embeddings=128,
+        position_embedding_type="relative_key",
+    )
+    model = BertForDiffusion(config)
+    variables = model_io.init_model_variables(model, jax.random.PRNGKey(0), pad=128)
+    schedule = DiffusionSchedule.create("cosine", timesteps)
+
+    kwargs = dict(
+        is_angular=[True] * 6,
+        pad=128,
+        n=n_per_length,
+        sweep_lengths=(50, 128),
+        batch_size=batch_size,
+        seed=1234,
+    )
+
+    # Shard the sampling batch across all available devices
+    devices = jax.devices()
+    shard_fn = None
+    if len(devices) > 1:
+        from foldingdiff_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(devices)
+        shard_fn = lambda *arrs: shard_batch(mesh, *arrs)
+
+    # Warmup: compile both length buckets with a 1-per-length run
+    warm = dict(kwargs)
+    warm["n"] = 1
+    samp.sample(model, variables["params"], variables["constants"], schedule,
+                shard_fn=shard_fn, **warm)
+
+    t0 = time.perf_counter()
+    out = samp.sample(model, variables["params"], variables["constants"], schedule,
+                      shard_fn=shard_fn, **kwargs)
+    elapsed = time.perf_counter() - t0
+
+    n_structures = len(out)
+    rate = n_structures / elapsed
+    baseline_rate = 512 / (7 * 60)  # RTX 2080Ti reference
+    print(json.dumps({
+        "metric": "sampling_backbones_per_sec",
+        "value": round(rate, 3),
+        "unit": "backbones/sec/chip",
+        "vs_baseline": round(rate / baseline_rate, 2),
+        "n_structures": n_structures,
+        "timesteps": timesteps,
+        "batch_size": batch_size,
+        "wall_clock_sec": round(elapsed, 2),
+        "n_devices": len(devices),
+        "platform": devices[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""
+Empirical KL divergence of noised features vs pure noise per timestep.
+
+Reference: foldingdiff/custom_metrics.py:15-82. The reference loops the whole
+dataset through __getitem__ per timestep under an mp.Pool; here the noising is
+one vectorized numpy pass per timestep (the featurized angles are already
+dense arrays), so no process pool is needed.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+from scipy import stats
+
+from foldingdiff_tpu.utils import modulo_with_wrapped_range
+
+
+def kl_from_empirical(u: np.ndarray, v: np.ndarray, nbins: int = 100, pseudocount: bool = False) -> float:
+    """KL(u || v) between two empirical samples via shared-bin histograms
+    (reference custom_metrics.py:15-37)."""
+    min_val = min(np.min(u), np.min(v))
+    max_val = max(np.max(u), np.max(v))
+    bins = np.linspace(min_val, max_val, nbins + 1)
+    if pseudocount:
+        u = np.concatenate((u, bins))
+        v = np.concatenate((v, bins))
+    u_hist, _ = np.histogram(u, bins=bins, density=True)
+    v_hist, _ = np.histogram(v, bins=bins, density=True)
+    return float(stats.entropy(u_hist, v_hist))
+
+
+def kl_at_timestep(
+    t: int,
+    values: np.ndarray,
+    sqrt_alphas_cumprod: np.ndarray,
+    sqrt_one_minus_alphas_cumprod: np.ndarray,
+    is_angular: np.ndarray,
+    rng: np.random.Generator,
+    angular_scale: float = 1.0,
+) -> np.ndarray:
+    """KL per feature between q(x_t|x_0)-noised values and pure wrapped noise.
+
+    values: (N, F) unmasked feature rows pooled over the dataset."""
+    noise = rng.standard_normal(values.shape)
+    noise[:, is_angular] = modulo_with_wrapped_range(noise[:, is_angular] * angular_scale)
+    noised = sqrt_alphas_cumprod[t] * values + sqrt_one_minus_alphas_cumprod[t] * noise
+    noised[:, is_angular] = modulo_with_wrapped_range(noised[:, is_angular])
+    ref_noise = rng.standard_normal(values.shape)
+    ref_noise[:, is_angular] = modulo_with_wrapped_range(ref_noise[:, is_angular] * angular_scale)
+    return np.array(
+        [kl_from_empirical(noised[:, i], ref_noise[:, i]) for i in range(values.shape[1])]
+    )
+
+
+def kl_from_dset(dset, seed: int = 0, max_rows: Optional[int] = 200_000) -> np.ndarray:
+    """
+    (timesteps, n_features) KL divergence array (reference kl_from_dset,
+    custom_metrics.py:66-82). dset is a NoisedAnglesDataset.
+    """
+    key = dset.dset_key if hasattr(dset, "dset_key") else "angles"
+    rows = []
+    for i in range(len(dset.dset)):
+        item = dset.dset[i]
+        rows.append(item[key][item["attn_mask"] > 0])
+    values = np.concatenate(rows)
+    if max_rows is not None and len(values) > max_rows:
+        sel = np.random.default_rng(seed).choice(len(values), size=max_rows, replace=False)
+        values = values[sel]
+    is_angular = np.asarray(dset.feature_is_angular[key], dtype=bool)
+    rng = np.random.default_rng(seed)
+    logging.info(f"Computing KL for {dset.timesteps} timesteps over {len(values)} rows")
+    out = [
+        kl_at_timestep(
+            t,
+            values,
+            dset.alpha_beta_terms["sqrt_alphas_cumprod"],
+            dset.alpha_beta_terms["sqrt_one_minus_alphas_cumprod"],
+            is_angular,
+            rng,
+            angular_scale=dset.angular_var_scale,
+        )
+        for t in range(dset.timesteps)
+    ]
+    return np.array(out)

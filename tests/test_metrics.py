@@ -1,0 +1,176 @@
+"""Metrics tests: KL (port of reference tests/test_metrics.py), native lDDT,
+clash counting, P-SEA secondary structure."""
+import os
+
+import numpy as np
+import pytest
+
+from foldingdiff_tpu.metrics import clashes, kl, lddt, ss
+from foldingdiff_tpu.utils import wrapped_mean
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+CRN = os.path.join(DATA_DIR, "1CRN.pdb")
+PFL = os.path.join(DATA_DIR, "7PFL.pdb")
+
+
+class TestKL:
+    def test_identical_self(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=5000)
+        assert kl.kl_from_empirical(x, x) == 0.0
+
+    def test_disjoint_is_inf(self):
+        u = np.zeros(100) + 0.5
+        v = np.ones(100) * 10
+        assert np.isinf(kl.kl_from_empirical(u, v))
+
+    def test_ordering(self):
+        """KL grows as distributions separate (reference test_metrics)."""
+        rng = np.random.default_rng(1)
+        base = rng.normal(size=20000)
+        prev = 0.0
+        for shift in [0.25, 0.5, 1.0]:
+            v = rng.normal(loc=shift, size=20000)
+            cur = kl.kl_from_empirical(base, v, pseudocount=True)
+            assert cur > prev
+            prev = cur
+
+    def test_kl_decreases_with_timestep(self):
+        """Noised data approaches pure noise as t -> T."""
+        from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+
+        sched = DiffusionSchedule.create("cosine", 100)
+        rng = np.random.default_rng(2)
+        # Strongly peaked "data"
+        values = rng.normal(loc=1.5, scale=0.1, size=(20000, 2))
+        is_ang = np.array([True, True])
+        kl_early = kl.kl_at_timestep(
+            2, values, np.asarray(sched.sqrt_alphas_cumprod),
+            np.asarray(sched.sqrt_one_minus_alphas_cumprod), is_ang,
+            np.random.default_rng(3),
+        )
+        kl_late = kl.kl_at_timestep(
+            99, values, np.asarray(sched.sqrt_alphas_cumprod),
+            np.asarray(sched.sqrt_one_minus_alphas_cumprod), is_ang,
+            np.random.default_rng(3),
+        )
+        assert np.all(kl_late < kl_early)
+
+
+class TestWrappedMean:
+    def test_nan_tolerant(self):
+        x = np.array([0.4, np.nan, 0.6])
+        assert np.isclose(wrapped_mean(x), 0.5, atol=0.01)
+
+    def test_boundary(self):
+        x = np.array([np.pi - 0.2, -np.pi + 0.2])
+        assert np.isclose(abs(wrapped_mean(x)), np.pi, atol=1e-6)
+
+
+class TestLDDT:
+    def _ca(self, f):
+        from foldingdiff_tpu.geometry.pdb import extract_backbone_coords
+
+        return extract_backbone_coords(f, atoms=("CA",))
+
+    def test_self_is_one(self):
+        ca = self._ca(CRN)
+        assert lddt.lddt_np(ca, ca) == 1.0
+
+    def test_rigid_motion_invariant(self):
+        from scipy.spatial.transform import Rotation
+
+        ca = self._ca(CRN)
+        rot = Rotation.random(random_state=0).as_matrix()
+        moved = ca @ rot.T + np.array([5.0, 6.0, 7.0])
+        assert lddt.lddt_np(moved, ca) > 0.999
+
+    def test_perturbation_decreases(self):
+        ca = self._ca(CRN)
+        rng = np.random.default_rng(0)
+        prev = 1.0
+        for scale in [0.5, 1.0, 2.0]:
+            noisy = ca + rng.normal(scale=scale, size=ca.shape)
+            score = lddt.lddt_np(noisy, ca)
+            assert score < prev
+            prev = score
+        assert prev < 0.6
+
+    def test_file_api(self):
+        assert lddt.lddt_pdb(CRN, CRN) == 1.0
+        cross = lddt.lddt_pdb(PFL, CRN)
+        assert cross < 0.7
+
+    def test_jax_matches_np(self):
+        import jax.numpy as jnp
+
+        ca = self._ca(CRN)
+        rng = np.random.default_rng(1)
+        noisy = ca + rng.normal(scale=0.5, size=ca.shape)
+        np_score = lddt.lddt_np(noisy, ca)
+        j_score = float(
+            lddt.lddt_jax(jnp.asarray(noisy[None]), jnp.asarray(ca[None]))[0]
+        )
+        assert np.isclose(np_score, j_score, atol=1e-3)
+
+
+class TestClashes:
+    def test_real_structure_few_clashes(self):
+        # A real crystal structure should have no/few backbone clashes
+        n = clashes.count_clashes(CRN)
+        assert n <= 2, n
+
+    def test_compressed_structure_clashes(self, tmp_path):
+        from foldingdiff_tpu.geometry.pdb import read_pdb, write_coords_to_pdb
+
+        bb = read_pdb(CRN).backbone_coords()
+        squeezed = bb * 0.5  # compress -> guaranteed clashes
+        out = write_coords_to_pdb(squeezed, str(tmp_path / "squeezed.pdb"))
+        assert clashes.count_clashes(out) > 10
+
+
+class TestSecondaryStructure:
+    def test_1crn_topology(self):
+        # 1CRN: 2 alpha helices + one 2-strand beta sheet (known topology)
+        a, b = ss.count_structures_in_pdb(CRN)
+        assert a == 2, a
+        assert 1 <= b <= 3, b
+
+    def test_beta_rich_structure(self):
+        a, b = ss.count_structures_in_pdb(PFL)
+        assert b >= 4, (a, b)
+
+    def test_extended_chain_no_helix(self, tmp_path):
+        """A fully extended synthetic chain (phi=psi=180deg-ish strand) should
+        contain no helices."""
+        import pandas as pd
+
+        from foldingdiff_tpu.geometry.featurize import create_new_chain_nerf
+
+        n = 30
+        df = pd.DataFrame({
+            "phi": np.full(n, -2.4),
+            "psi": np.full(n, 2.4),
+            "omega": np.full(n, np.pi - 0.01),
+            "tau": np.full(n, 109.5 / 180 * np.pi),
+        })
+        out = create_new_chain_nerf(str(tmp_path / "ext.pdb"), df)
+        a, b = ss.count_structures_in_pdb(out)
+        assert a == 0
+
+    def test_helix_synthetic(self, tmp_path):
+        """Idealized alpha-helix angles produce one helix element."""
+        import pandas as pd
+
+        from foldingdiff_tpu.geometry.featurize import create_new_chain_nerf
+
+        n = 30
+        df = pd.DataFrame({
+            "phi": np.full(n, -57.0 / 180 * np.pi),
+            "psi": np.full(n, -47.0 / 180 * np.pi),
+            "omega": np.full(n, np.pi - 0.01),
+            "tau": np.full(n, 111.0 / 180 * np.pi),
+        })
+        out = create_new_chain_nerf(str(tmp_path / "helix.pdb"), df)
+        a, b = ss.count_structures_in_pdb(out)
+        assert a == 1 and b == 0, (a, b)

@@ -1,0 +1,168 @@
+"""End-to-end training slice: synthetic PDBs -> dataset -> jitted train loop
+-> checkpoints -> reload -> sample -> NeRF -> PDB. The 'one model running'
+milestone from SURVEY.md section 7."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from foldingdiff_tpu.data import datasets as dsets
+from foldingdiff_tpu.diffusion import sampling as samp
+from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+from foldingdiff_tpu.models import BertForDiffusion, ModelConfig
+from foldingdiff_tpu.models import io as model_io
+from foldingdiff_tpu.training import Trainer, TrainConfig
+from tests.helpers import make_synthetic_pdb_dir
+
+CONFIG = ModelConfig(
+    hidden_size=48,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=96,
+    max_position_embeddings=48,
+)
+
+
+@pytest.fixture(scope="module")
+def train_setup(tmp_path_factory):
+    pdb_dir = str(tmp_path_factory.mktemp("pdbs"))
+    cache_dir = str(tmp_path_factory.mktemp("cache"))
+    make_synthetic_pdb_dir(pdb_dir, n=16, seed=2, min_len=30)
+    ds = dsets.AnglesOnlyDataset(
+        pdbs=pdb_dir, pad=48, min_length=0, trim_strategy="leftalign",
+        cache_dir=cache_dir, n_workers=1,
+    )
+    return ds
+
+
+def test_train_loop_decreases_loss_and_checkpoints(train_setup, tmp_path):
+    ds = train_setup
+    data = ds.to_arrays()
+    sched = DiffusionSchedule.create("cosine", 25)
+    tcfg = TrainConfig(lr=3e-4, batch_size=8, max_epochs=12, lr_scheduler=None, seed=0)
+    model = BertForDiffusion(CONFIG)
+    trainer = Trainer(model, sched, tcfg, steps_per_epoch=len(ds) // tcfg.batch_size)
+    state = trainer.init_state(jax.random.PRNGKey(0), pad=48)
+
+    train_args = {
+        "angles_definitions": "canonical-full-angles",
+        "max_seq_len": 48,
+        "num_hidden_layers": CONFIG.num_hidden_layers,
+        "hidden_size": CONFIG.hidden_size,
+        "intermediate_size": CONFIG.intermediate_size,
+        "num_heads": CONFIG.num_attention_heads,
+        "position_embedding_type": CONFIG.position_embedding_type,
+        "time_encoding": "gaussian_fourier",
+        "decoder": "mlp",
+        "timesteps": 25,
+        "variance_schedule": "cosine",
+        "variance_scale": 1.0,
+    }
+    state, rows = trainer.fit(
+        state, data, valid_data=data, results_dir=str(tmp_path),
+        model_config=CONFIG, train_args=train_args, mean_offset=ds.get_masked_means(),
+    )
+    assert len(rows) == 12
+    first, last = rows[0]["train_loss"], rows[-1]["train_loss"]
+    assert last < first, f"Loss did not decrease: {first} -> {last}"
+
+    # Artifacts: reference layout
+    assert os.path.isfile(tmp_path / "training_args.json")
+    assert os.path.isfile(tmp_path / "config.json")
+    assert os.path.isfile(tmp_path / "training_mean_offset.npy")
+    assert os.path.isfile(tmp_path / "logs" / "metrics.csv")
+    ckpts = glob.glob(str(tmp_path / "models" / "best_by_valid" / "*.msgpack"))
+    assert 1 <= len(ckpts) <= 5
+    assert glob.glob(str(tmp_path / "models" / "best_by_train" / "*.msgpack"))
+
+    # Reload + sample end to end -> PDB files
+    model2, params2, constants2, args2 = model_io.from_dir(str(tmp_path))
+    sched2 = DiffusionSchedule.create(args2["variance_schedule"], args2["timesteps"])
+    empty = dsets.AnglesEmptyDataset.from_dir(str(tmp_path))
+    sampled = samp.sample(
+        model2, params2, constants2, sched2,
+        is_angular=empty.feature_is_angular["angles"], pad=empty.pad,
+        n=2, sweep_lengths=(30, 32), batch_size=4,
+        mean_offset=empty.get_masked_means(), seed=0,
+    )
+    assert len(sampled) == 4
+
+    from foldingdiff_tpu.geometry.featurize import create_new_chain_nerf
+    import pandas as pd
+
+    out_pdbs = []
+    for i, s in enumerate(sampled):
+        df = pd.DataFrame(s, columns=list(empty.feature_names["angles"]))
+        out = create_new_chain_nerf(str(tmp_path / f"sample_{i}.pdb"), df)
+        assert out
+        out_pdbs.append(out)
+    from foldingdiff_tpu.geometry.pdb import get_pdb_length
+
+    assert get_pdb_length(out_pdbs[0]) == 30
+
+
+def test_mesh_data_parallel_training_matches_single(train_setup):
+    """Gradient math must be identical when the batch is sharded over the
+    8-device mesh (XLA inserts the psum) vs single device."""
+    import dataclasses
+
+    from foldingdiff_tpu.parallel import make_mesh
+
+    ds = train_setup
+    data = ds.to_arrays()
+    sched = DiffusionSchedule.create("linear", 25)
+    tcfg = TrainConfig(lr=3e-4, batch_size=8, max_epochs=2, lr_scheduler=None, seed=0)
+    model = BertForDiffusion(dataclasses.replace(CONFIG, matmul_precision="highest"))
+
+    t_single = Trainer(model, sched, tcfg, steps_per_epoch=2)
+    s_single = t_single.init_state(jax.random.PRNGKey(0), pad=48)
+    s_single, rows_single = t_single.fit(s_single, data, valid_data=None)
+
+    mesh = make_mesh()
+    t_mesh = Trainer(model, sched, tcfg, steps_per_epoch=2, mesh=mesh)
+    s_mesh = t_mesh.init_state(jax.random.PRNGKey(0), pad=48)
+    s_mesh, rows_mesh = t_mesh.fit(s_mesh, data, valid_data=None)
+
+    assert np.isclose(
+        rows_single[-1]["train_loss"], rows_mesh[-1]["train_loss"], atol=1e-4
+    ), (rows_single[-1]["train_loss"], rows_mesh[-1]["train_loss"])
+    # Parameters end up numerically equal
+    flat_s = jax.tree.leaves(jax.device_get(s_single.params))
+    flat_m = jax.tree.leaves(jax.device_get(s_mesh.params))
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_pdist_loss_training_step(train_setup):
+    """Training with the pairwise-distance auxiliary loss runs and is finite."""
+    ds = train_setup
+    data = ds.to_arrays()
+    sched = DiffusionSchedule.create("cosine", 25)
+    tcfg = TrainConfig(
+        lr=1e-4, batch_size=8, max_epochs=1, lr_scheduler=None, use_pdist_loss=0.5, seed=0
+    )
+    model = BertForDiffusion(CONFIG)
+    trainer = Trainer(model, sched, tcfg, steps_per_epoch=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), pad=48)
+    state, rows = trainer.fit(state, data)
+    assert np.isfinite(rows[0]["train_loss"])
+    assert "train_loss_pairwise_dist_loss" in rows[0]
+
+
+def test_lr_schedule_linear_warmup():
+    from foldingdiff_tpu.training.trainer import make_lr_schedule
+
+    cfg = TrainConfig(lr=1.0, max_epochs=100, lr_scheduler="LinearWarmup")
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    import jax.numpy as jnp
+
+    # 10% warmup = 10 epochs; epoch 0 => 0, epoch 5 => 0.5, epoch 10 => full
+    assert float(sched(jnp.asarray(0))) == 0.0
+    assert np.isclose(float(sched(jnp.asarray(50))), 0.5)
+    assert np.isclose(float(sched(jnp.asarray(100))), 1.0)
+    # Linear decay to 0 at the end
+    assert np.isclose(float(sched(jnp.asarray(55 * 10))), (100 - 55) / 90)
+    assert np.isclose(float(sched(jnp.asarray(999))), (100 - 99) / 90)
