@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""
+Sampling CLI: load a trained model dir, sweep lengths, write angle CSVs + PDB
+files + distribution plots.
+
+Mirrors reference bin/sample.py (237-287): -m model dir, -n per-length count,
+-l length sweep, -b batch size, --fullhistory, --seed. Outputs:
+  sampled_angles/*.csv.gz   per-structure final angles
+  sampled_pdb/*.pdb         NeRF-reconstructed backbones
+  plots/*.pdf               Ramachandran + distributions + SS co-occurrence
+  model_snapshot/           minimal copy of the model artifacts
+
+Usage: python bin/sample.py -m results -l 50 128 -n 10 -b 512 -o sampled
+"""
+import argparse
+import json
+import logging
+import multiprocessing as mp
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        usage=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("-m", "--model", type=str, required=True, help="model directory")
+    parser.add_argument("-o", "--outdir", type=str, default="./sampled", help="output dir")
+    parser.add_argument("-n", "--num", type=int, default=10, help="samples per length")
+    parser.add_argument(
+        "-l", "--lengths", type=int, nargs=2, default=[50, 128], help="length sweep [min max)"
+    )
+    parser.add_argument("-b", "--batchsize", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=int("0x1234", 16))
+    parser.add_argument("--fullhistory", action="store_true", help="write per-timestep angles")
+    parser.add_argument("--nopdb", action="store_true", help="skip PDB writing")
+    parser.add_argument("--noplot", action="store_true", help="skip plots")
+    parser.add_argument("--cpu", action="store_true")
+    return parser
+
+
+def write_preds_pdb_folder(sampled_dfs, pdb_dir: str, threads: int = 0) -> list:
+    """Write each sampled angle table to a PDB via NeRF (reference
+    bin/sample.py:105-128)."""
+    import functools
+
+    from foldingdiff_tpu.geometry.featurize import create_new_chain_nerf
+
+    os.makedirs(pdb_dir, exist_ok=True)
+    args = [
+        (os.path.join(pdb_dir, f"generated_{i}.pdb"), df)
+        for i, df in enumerate(sampled_dfs)
+    ]
+    threads = threads or (os.cpu_count() or 1)
+    if threads > 1 and len(args) > 8:
+        with mp.Pool(threads) as pool:
+            files = pool.starmap(create_new_chain_nerf, args, chunksize=8)
+    else:
+        files = [create_new_chain_nerf(f, df) for f, df in args]
+    return [f for f in files if f]
+
+
+def main():
+    import pandas as pd
+
+    args = build_parser().parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from foldingdiff_tpu.data.datasets import AnglesEmptyDataset
+    from foldingdiff_tpu.diffusion import sampling as samp
+    from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from foldingdiff_tpu.models import io as model_io
+
+    outdir = Path(args.outdir)
+    os.makedirs(outdir, exist_ok=True)
+    assert not os.listdir(outdir) or all(
+        d.startswith(".") for d in os.listdir(outdir)
+    ) or True  # allow non-empty, we overwrite
+
+    model, params, constants, train_args = model_io.from_dir(args.model)
+    schedule = DiffusionSchedule.create(
+        train_args["variance_schedule"], train_args["timesteps"]
+    )
+    empty = AnglesEmptyDataset.from_dir(args.model)
+    ft_names = list(empty.feature_names["angles"])
+
+    # Snapshot the model artifacts alongside outputs (reference 340-343)
+    snapshot = outdir / "model_snapshot"
+    if snapshot.exists():
+        shutil.rmtree(snapshot)
+    shutil.copytree(
+        args.model, snapshot,
+        ignore=shutil.ignore_patterns("logs", "plots", "*.log", "valid_preds"),
+    )
+
+    import jax
+
+    devices = jax.devices()
+    shard_fn = None
+    if len(devices) > 1:
+        from foldingdiff_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(devices)
+        shard_fn = lambda *arrs: shard_batch(mesh, *arrs)
+
+    try:
+        mean_offset = empty.get_masked_means()
+    except NotImplementedError:
+        mean_offset = None
+
+    sampled = samp.sample(
+        model, params, constants, schedule,
+        is_angular=empty.feature_is_angular["angles"],
+        pad=empty.pad,
+        n=args.num,
+        sweep_lengths=tuple(args.lengths),
+        batch_size=args.batchsize,
+        angular_variance=train_args.get("variance_scale", 1.0),
+        mean_offset=mean_offset,
+        seed=args.seed,
+        return_history=args.fullhistory,
+        shard_fn=shard_fn,
+    )
+    final = [s[-1] if args.fullhistory else s for s in sampled]
+    sampled_dfs = [pd.DataFrame(s, columns=ft_names) for s in final]
+
+    angles_dir = outdir / "sampled_angles"
+    os.makedirs(angles_dir, exist_ok=True)
+    for i, df in enumerate(sampled_dfs):
+        df.to_csv(angles_dir / f"generated_{i}.csv.gz", index=False)
+    logging.info(f"Wrote {len(sampled_dfs)} angle CSVs to {angles_dir}")
+
+    if args.fullhistory:
+        hist_dir = angles_dir / "sample_history"
+        os.makedirs(hist_dir, exist_ok=True)
+        for i, s in enumerate(sampled):
+            sub = hist_dir / f"generated_{i}"
+            os.makedirs(sub, exist_ok=True)
+            for t_idx in range(s.shape[0]):
+                pd.DataFrame(s[t_idx], columns=ft_names).to_csv(
+                    sub / f"timestep_{t_idx}.csv.gz", index=False
+                )
+
+    if not args.nopdb:
+        pdb_files = write_preds_pdb_folder(sampled_dfs, str(outdir / "sampled_pdb"))
+        logging.info(f"Wrote {len(pdb_files)} PDB files")
+
+    if not args.noplot:
+        from foldingdiff_tpu.metrics import plotting as plots
+        from foldingdiff_tpu.metrics.ss import count_structures_parallel
+
+        plots_dir = outdir / "plots"
+        os.makedirs(plots_dir, exist_ok=True)
+        all_angles = np.concatenate([df.values for df in sampled_dfs])
+        if "phi" in ft_names and "psi" in ft_names:
+            plots.plot_ramachandran(
+                all_angles[:, ft_names.index("phi")],
+                all_angles[:, ft_names.index("psi")],
+                str(plots_dir / "ramachandran_generated.pdf"),
+                annot_ss=True,
+                title=f"Ramachandran, {len(sampled_dfs)} generated structures",
+            )
+        plots.plot_distribution_overlap(
+            {"generated": all_angles},
+            str(plots_dir / "generated_distributions.pdf"),
+            ft_names,
+        )
+        if not args.nopdb and pdb_files:
+            counts = count_structures_parallel(pdb_files)
+            counts = [c for c in counts if c != (-1, -1)]
+            if counts:
+                a, b = zip(*counts)
+                plots.plot_ss_cooccurrence(
+                    a, b, str(plots_dir / "ss_cooccurrence_generated.pdf"),
+                    json_file=str(plots_dir / "ss_counts.json"),
+                )
+    logging.info("Sampling complete")
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

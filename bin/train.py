@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""
+Diffusion-training CLI: config JSON -> datasets -> TPU trainer.
+
+Mirrors the reference bin/train.py CLI (549-570): positional config json,
+-o/--outdir, --toy, --dryrun, --cpu; CLI overrides merged over the config with
+update_dict_nonnull. Reference config_jsons/*.json files work unchanged.
+
+Usage: python bin/train.py config_jsons/cath_full_angles_cosine.json -o results
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from foldingdiff_tpu.utils import update_dict_nonnull
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        usage=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("config", nargs="?", default="", type=str, help="config json")
+    parser.add_argument("-o", "--outdir", default="./results", type=str, help="results dir")
+    parser.add_argument("--dataset", default=None, type=str, help="dataset key or PDB dir")
+    parser.add_argument("--toy", default=None, type=int, help="subset to n structures")
+    parser.add_argument("--debug_single_time", action="store_true")
+    parser.add_argument("--cpu", action="store_true", help="force CPU platform")
+    parser.add_argument("--ngpu", default=-1, type=int, help="unused; device count is automatic")
+    parser.add_argument("--dryrun", action="store_true", help="skip plots and extras")
+    parser.add_argument("--epochs", default=None, type=int, help="override max/min epochs")
+    parser.add_argument("--batchsize", default=None, type=int)
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from foldingdiff_tpu.training.orchestration import train
+
+    config = {}
+    if args.config:
+        with open(args.config) as f:
+            config = json.load(f)
+    overrides = {
+        "results_dir": args.outdir,
+        "subset": args.toy,
+        "single_timestep_debug": args.debug_single_time or None,
+        "cpu_only": args.cpu or None,
+        "dryrun": args.dryrun or None,
+        "dataset_key": args.dataset,
+        "max_epochs": args.epochs,
+        "min_epochs": args.epochs,
+        "batch_size": args.batchsize,
+    }
+    config = update_dict_nonnull(config, {k: v for k, v in overrides.items() if v is not None})
+    # Accepted-for-parity keys that train() does not take
+    config.pop("multithread_plotting", None)
+    train(**config)
+
+
+if __name__ == "__main__":
+    os.makedirs("logs", exist_ok=True) if False else None
+    curr_time = datetime.now().strftime("%y%m%d_%H%M%S")
+    logging.basicConfig(
+        level=logging.INFO,
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(f"training_{curr_time}.log"),
+        ],
+    )
+    main()

@@ -161,8 +161,9 @@ def sample(
     for chunk_i, this_lengths in enumerate(chunks):
         b = len(this_lengths)
         seq_len = max(this_lengths) if trim_to_length else pad
-        # Bucket to multiples of 8 sublanes for fewer recompiles + tile alignment
-        seq_len = min(pad, -(-seq_len // 8) * 8) if trim_to_length else pad
+        # Bucket to multiples of 64: coarse buckets mean at most a couple of
+        # compilations per sweep (compile >> padded-compute waste here)
+        seq_len = min(pad, -(-seq_len // 64) * 64) if trim_to_length else pad
 
         key = jax.random.fold_in(master_key, chunk_i)
         noise_key, loop_key = jax.random.split(key)
