@@ -66,13 +66,16 @@ def p_sample_loop(
     schedule: DiffusionSchedule,
     is_angular,
     return_history: bool = False,
+    start_t: Optional[int] = None,
 ) -> jnp.ndarray:
     """
-    Full reverse chain T-1 .. 0 as one scan. Returns final x (B, L, F), or the
-    full (T, B, L, F) trajectory when return_history (reference keeps history
-    always; we make it opt-in to avoid the T-times memory).
+    Reverse chain (start_t or T)-1 .. 0 as one scan. Returns final x
+    (B, L, F), or the full (start_t, B, L, F) trajectory when return_history
+    (reference keeps history always; we make it opt-in to avoid the T-times
+    memory). start_t < T runs a partial reverse chain (used by
+    partial-noise reconstruction, reference sampling.py:319-330).
     """
-    timesteps = schedule.timesteps
+    timesteps = start_t if start_t is not None else schedule.timesteps
     is_angular = jnp.asarray(np.asarray(is_angular, dtype=bool))
     keys = jax.random.split(key, timesteps)
 
@@ -93,6 +96,7 @@ def build_sampler(
     schedule: DiffusionSchedule,
     is_angular,
     return_history: bool = False,
+    start_t: Optional[int] = None,
 ):
     """
     jit-compiled sampler closure: (noise, attn_mask, key) -> samples.
@@ -107,10 +111,64 @@ def build_sampler(
     @jax.jit
     def sampler(noise, attn_mask, key):
         return p_sample_loop(
-            model_fn, noise, key, attn_mask, schedule, is_angular, return_history
+            model_fn, noise, key, attn_mask, schedule, is_angular, return_history,
+            start_t=start_t,
         )
 
     return sampler
+
+
+def get_reconstruction_error(
+    model,
+    params,
+    constants,
+    schedule: DiffusionSchedule,
+    data: dict,
+    *,
+    is_angular: Sequence[bool],
+    noise_timesteps: int = 250,
+    batch_size: int = 512,
+    seed: int = 0,
+    mean_offset: Optional[np.ndarray] = None,
+    shard_fn=None,
+) -> List[np.ndarray]:
+    """
+    Partial-noise reconstruction (reference sampling.get_reconstruction_error,
+    sampling.py:287-356): q-sample each test item to t=noise_timesteps, run
+    the reverse chain from there, return the reconstructed angle sets trimmed
+    to their lengths. TM scoring against the truth is the caller's business
+    (bin/partial_noise_reconstruct.py).
+
+    data: {"angles": (N, L, F), "attn_mask": (N, L), "lengths": (N,)}.
+    """
+    from foldingdiff_tpu.diffusion.noise import q_sample
+
+    assert noise_timesteps <= schedule.timesteps
+    is_angular_arr = np.asarray(is_angular, dtype=bool)
+    sampler = build_sampler(
+        model, params, constants, schedule, is_angular_arr, start_t=noise_timesteps
+    )
+    key = jax.random.PRNGKey(seed)
+    n = data["angles"].shape[0]
+    out: List[np.ndarray] = []
+    for start in range(0, n, batch_size):
+        x0 = jnp.asarray(data["angles"][start : start + batch_size])
+        mask = jnp.asarray(data["attn_mask"][start : start + batch_size])
+        lengths = data["lengths"][start : start + batch_size]
+        key, nk, lk = jax.random.split(key, 3)
+        b = x0.shape[0]
+        t = jnp.full((b,), noise_timesteps - 1, dtype=jnp.int32)
+        eps = sample_wrapped_noise(nk, x0.shape, is_angular_arr)
+        corrupted = q_sample(x0, t, eps, schedule, is_angular_arr)
+        if shard_fn is not None:
+            corrupted, mask = shard_fn(corrupted, mask)
+        recon = np.asarray(jax.device_get(sampler(corrupted, mask, lk)))
+        if mean_offset is not None:
+            recon = recon + np.asarray(mean_offset)
+            ang_idx = np.where(is_angular_arr)[0]
+            recon[..., ang_idx] = modulo_with_wrapped_range(recon[..., ang_idx], -np.pi, np.pi)
+        out.extend(recon[i, : int(l)] for i, l in enumerate(lengths))
+    return out
 
 
 def sample(
