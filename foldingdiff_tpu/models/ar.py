@@ -54,7 +54,7 @@ class BertForAutoregressive(nn.Module):
         if position_ids is None:
             position_ids = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None, :], (b, l))
 
-        attn_bias = (1.0 - attention_mask[:, None, None, :].astype(inputs.dtype)) * -10000.0
+        attn_bias_2d = (1.0 - attention_mask.astype(inputs.dtype)) * -10000.0
 
         upscaled = nn.Dense(cfg.hidden_size, name="inputs_to_hidden_dim")(inputs)
         len_embed = get_time_encoder(cfg.time_encoding, cfg.hidden_size)(seq_lengths)
@@ -63,7 +63,7 @@ class BertForAutoregressive(nn.Module):
 
         for i in range(cfg.num_hidden_layers):
             hidden = Layer(cfg, name=f"encoder_layer_{i}")(
-                hidden, attn_bias, position_ids, deterministic
+                hidden, attn_bias_2d, position_ids, deterministic
             )
 
         if cfg.decoder == "mlp":

@@ -99,15 +99,12 @@ def fused_attention(
     v: jnp.ndarray,
     mask_bias: jnp.ndarray,  # (B, L) additive bias per key (-10000 masked)
     e_lr: jnp.ndarray | None = None,  # (L, L, D) gathered distance embeddings
-    batch_block: int = 8,
+    batch_block: int = 1,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, l, d = q.shape
     scale = 1.0 / (d**0.5)
-    bb = 1
-    for cand in (batch_block, 4, 2, 1):
-        if b % cand == 0:
-            bb = cand
-            break
+    bb = batch_block if b % batch_block == 0 else 1
     grid = (b // bb,)
 
     q_t = jnp.swapaxes(q, 2, 3)  # (B, H, D, L), one HBM transpose
@@ -137,6 +134,7 @@ def fused_attention(
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes * 3, 128 * 1024 * 1024),
         ),
