@@ -118,6 +118,38 @@ def build_sampler(
     return sampler
 
 
+def sample_simple(model_dir: str, n: int = 10, sweep_lengths: Tuple[int, int] = (50, 128)):
+    """
+    Load a model directory and sample, returning per-structure DataFrames
+    (reference sampling.sample_simple, sampling.py:227-264).
+    """
+    import pandas as pd
+
+    from foldingdiff_tpu.data.datasets import AnglesEmptyDataset
+    from foldingdiff_tpu.models import io as model_io
+
+    model, params, constants, train_args = model_io.from_dir(model_dir)
+    schedule = DiffusionSchedule.create(
+        train_args["variance_schedule"], train_args["timesteps"]
+    )
+    empty = AnglesEmptyDataset.from_dir(model_dir)
+    try:
+        mean_offset = empty.get_masked_means()
+    except NotImplementedError:
+        mean_offset = None
+    sampled = sample(
+        model, params, constants, schedule,
+        is_angular=empty.feature_is_angular["angles"],
+        pad=empty.pad,
+        n=n,
+        sweep_lengths=sweep_lengths,
+        angular_variance=train_args.get("variance_scale", 1.0),
+        mean_offset=mean_offset,
+    )
+    cols = list(empty.feature_names["angles"])
+    return [pd.DataFrame(s, columns=cols) for s in sampled]
+
+
 def get_reconstruction_error(
     model,
     params,

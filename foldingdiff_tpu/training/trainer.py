@@ -315,11 +315,22 @@ class Trainer:
         train_args: Optional[dict] = None,
         mean_offset: Optional[np.ndarray] = None,
         log_every: int = 0,
+        resume: bool = False,
+        save_state_every: int = 0,
     ) -> Tuple[TrainState, List[Dict[str, float]]]:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
         host_rng = np.random.default_rng(cfg.seed)
         metrics_rows: List[Dict[str, float]] = []
+
+        start_epoch = 0
+        if resume and results_dir is not None:
+            from foldingdiff_tpu.training.checkpoint import latest_train_state, restore_train_state
+
+            ckpt = latest_train_state(results_dir)
+            if ckpt is not None:
+                state, start_epoch = restore_train_state(ckpt, state)
+                logging.info(f"Resumed train state from {ckpt} at epoch {start_epoch}")
         pseudo_names = list(self.ft_names)
         if (isinstance(cfg.use_pdist_loss, (list, tuple)) and cfg.use_pdist_loss[0] > 0) or (
             not isinstance(cfg.use_pdist_loss, (list, tuple)) and cfg.use_pdist_loss > 0
@@ -330,7 +341,7 @@ class Trainer:
         best_train: List[Tuple[float, int, str]] = []
         patience_count, best_val_loss = 0, float("inf")
 
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             train_losses = []
             for batch in self._batches(train_data, host_rng, shuffle=True):
@@ -380,6 +391,11 @@ class Trainer:
                     results_dir, model_config, params_host, constants_host,
                     train_args or {}, mean_offset, epoch, train_loss, "train", best_train,
                 )
+
+            if results_dir is not None and save_state_every and (epoch + 1) % save_state_every == 0:
+                from foldingdiff_tpu.training.checkpoint import save_train_state
+
+                save_train_state(results_dir, state, epoch)
 
             # Early stopping on val loss (reference EarlyStopping callback)
             if cfg.early_stop_patience and valid_data is not None:
