@@ -148,6 +148,68 @@ class SynNoisedByPositionDataset:
         return item
 
 
+class ScoreMatchingNoisedAnglesDataset:
+    """
+    Wrapped-Gaussian score-matching noiser (reference datasets.py:1143-1197;
+    experimental/unused there too, kept for capability parity). Noise level
+    sigma(t) interpolates geometrically between sigma_min and sigma_max; the
+    score of the wrapped Gaussian is the derivative of the log-sum over
+    2*pi*k translates.
+    """
+
+    sigma_min = 0.01 * np.pi
+    sigma_max = np.pi
+    num_ks = 5000
+
+    def __init__(self, dset, dset_key: Optional[str] = "angles", seed: int = 0):
+        self.dset = dset
+        self.dset_key = dset_key
+        self._rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def get_sigma(t: float) -> float:
+        assert 0 <= t <= 1
+        return (
+            ScoreMatchingNoisedAnglesDataset.sigma_min ** (1.0 - t)
+            * ScoreMatchingNoisedAnglesDataset.sigma_max**t
+        )
+
+    @staticmethod
+    def get_score(corr: np.ndarray, orig: np.ndarray, t: float) -> np.ndarray:
+        """Score (d/dx log p) of the wrapped Gaussian at the corrupted angles."""
+        corr = (corr + np.pi) % (2 * np.pi) - np.pi
+        orig = (orig + np.pi) % (2 * np.pi) - np.pi
+        assert corr.shape == orig.shape and 0 <= t <= 1
+        sigma = ScoreMatchingNoisedAnglesDataset.get_sigma(t)
+        delta = (corr - orig + np.pi) % (2 * np.pi) - np.pi
+        # Truncated wrapped-Gaussian score: sum over k of the translate terms
+        ks = np.arange(-64, 65) * 2 * np.pi  # 129 translates dominate the sum
+        shifted = delta[..., None] + ks
+        logw = -(shifted**2) / (2 * sigma * sigma)
+        w = np.exp(logw - logw.max(axis=-1, keepdims=True))
+        score = -(shifted / (sigma * sigma) * w).sum(-1) / w.sum(-1)
+        return score
+
+    def __len__(self):
+        return len(self.dset)
+
+    def __getitem__(self, index: int) -> Dict:
+        item = self.dset[index]
+        vals = item[self.dset_key]
+        t = float(self._rng.uniform(0, 1))
+        sigma = self.get_sigma(t)
+        noise = self._rng.standard_normal(vals.shape).astype(np.float32) * sigma
+        corrupted = ((vals + noise + np.pi) % (2 * np.pi) - np.pi).astype(np.float32)
+        retval = {
+            "corrupted": corrupted,
+            "t": np.array([t], dtype=np.float32),
+            "score": self.get_score(corrupted, vals, t).astype(np.float32),
+        }
+        assert set(item.keys()).isdisjoint(retval.keys())
+        item.update(retval)
+        return item
+
+
 class SynNoisedMaskedOnlyDataset:
     """
     Noise ONLY masked positions: a correct model satisfies

@@ -49,6 +49,29 @@ class SinusoidalPositionEmbeddings(nn.Module):
         return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
+class PositionalEncoding(nn.Module):
+    """Classic sin/cos positional encoding over sequence positions with
+    dropout (reference modelling.py:96-129; unused by the main model there
+    too, kept for capability parity)."""
+
+    d_model: int
+    dropout: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        assert x.ndim == 3  # (B, L, D)
+        position = jnp.arange(self.max_len)[:, None].astype(jnp.float32)
+        div_term = jnp.exp(
+            jnp.arange(0, self.d_model, 2) * (-math.log(10000.0) / self.d_model)
+        )
+        pe = jnp.zeros((self.max_len, self.d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+        pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+        x = x + pe[None, : x.shape[1], :]
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
 def get_time_encoder(kind: str, embed_dim: int) -> nn.Module:
     if kind == "gaussian_fourier":
         return GaussianFourierProjection(embed_dim=embed_dim, name="time_embed")

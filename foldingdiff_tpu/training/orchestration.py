@@ -186,8 +186,31 @@ def train(
         early_stop_patience=early_stop_patience,
         use_pdist_loss=use_pdist_loss,
         angular_variance=variance_scale,
+        use_swa=use_swa,
         seed=seed,
     )
+
+    # Pre-training diagnostics: KL(noised || noise) over timesteps and the
+    # per-timestep distributions (reference bin/train.py:395-410)
+    if not dryrun:
+        try:
+            from foldingdiff_tpu.data.datasets import NoisedAnglesDataset
+            from foldingdiff_tpu.metrics.kl import kl_from_dset
+            from foldingdiff_tpu.metrics.plotting import plot_kl_divergence
+
+            plots_folder = results_folder / "plots"
+            os.makedirs(plots_folder, exist_ok=True)
+            noised = NoisedAnglesDataset(
+                train_ds, timesteps=timesteps, beta_schedule=variance_schedule,
+                angular_variance=variance_scale, seed=seed,
+            )
+            kl_vals = kl_from_dset(noised, seed=seed)
+            plot_kl_divergence(
+                kl_vals, list(train_ds.feature_names[ft_key]),
+                str(plots_folder / "kl_divergence_timesteps.pdf"),
+            )
+        except Exception as e:
+            logging.warning(f"KL diagnostics failed: {e}")
 
     mesh = None
     if use_mesh and not cpu_only:

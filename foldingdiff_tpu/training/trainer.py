@@ -64,6 +64,7 @@ class TrainConfig:
     use_pdist_loss: Any = 0.0  # float or (min, max) interpolated over timesteps
     angular_variance: float = 1.0
     nonangular_variance: float = 1.0
+    use_swa: bool = False  # stochastic weight averaging over the last 20% of epochs
     seed: int = 42
 
 
@@ -340,6 +341,10 @@ class Trainer:
         best_valid: List[Tuple[float, int, str]] = []
         best_train: List[Tuple[float, int, str]] = []
         patience_count, best_val_loss = 0, float("inf")
+        # SWA (reference: lightning StochasticWeightAveraging callback,
+        # bin/train.py:236-243): average params over the last 20% of epochs
+        swa_start = int(cfg.max_epochs * 0.8)
+        swa_params, swa_count = None, 0
 
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
@@ -392,6 +397,16 @@ class Trainer:
                     train_args or {}, mean_offset, epoch, train_loss, "train", best_train,
                 )
 
+            if cfg.use_swa and epoch >= swa_start:
+                p = jax.device_get(state.params)
+                if swa_params is None:
+                    swa_params, swa_count = p, 1
+                else:
+                    swa_count += 1
+                    swa_params = jax.tree.map(
+                        lambda avg, new: avg + (new - avg) / swa_count, swa_params, p
+                    )
+
             if results_dir is not None and save_state_every and (epoch + 1) % save_state_every == 0:
                 from foldingdiff_tpu.training.checkpoint import save_train_state
 
@@ -407,6 +422,14 @@ class Trainer:
                 if patience_count >= cfg.early_stop_patience and epoch + 1 >= min_ep:
                     logging.info(f"Early stopping at epoch {epoch}")
                     break
+
+        if cfg.use_swa and swa_params is not None and results_dir is not None and model_config is not None:
+            logging.info(f"Saving SWA weights averaged over {swa_count} epochs")
+            model_io.save_model_dir(
+                results_dir, model_config, swa_params, jax.device_get(state.constants),
+                train_args or {}, mean_offset=mean_offset, epoch=cfg.max_epochs,
+                best_by="swa", keep_top_k=1,
+            )
         return state, metrics_rows
 
     def _save_topk(
