@@ -62,8 +62,12 @@ def main():
         mesh = make_mesh(devices)
         shard_fn = lambda *arrs: shard_batch(mesh, *arrs)
 
-    # Warmup: pre-compile every (chunk_size, seq_bucket) shape the timed
-    # sweep will hit (compiles through the remote tunnel are expensive)
+    # One jitted sampler reused for warmup and the timed run (each
+    # build_sampler is its own jit cache). Warmup pre-compiles every
+    # (chunk_size, seq_bucket) shape the timed sweep will hit.
+    sampler = samp.build_sampler(
+        model, variables["params"], variables["constants"], schedule, [True] * 6
+    )
     lengths = [l for l in range(50, 128) for _ in range(n_per_length)]
     chunks = [lengths[i : i + batch_size] for i in range(0, len(lengths), batch_size)]
     shapes = {(len(c), min(128, -(-max(c) // 64) * 64)) for c in chunks}
@@ -73,11 +77,11 @@ def main():
         warm.pop("sweep_lengths")
         warm["lengths"] = [bucket - 1] * chunk_size
         samp.sample(model, variables["params"], variables["constants"], schedule,
-                    shard_fn=shard_fn, **warm)
+                    shard_fn=shard_fn, sampler=sampler, **warm)
 
     t0 = time.perf_counter()
     out = samp.sample(model, variables["params"], variables["constants"], schedule,
-                      shard_fn=shard_fn, **kwargs)
+                      shard_fn=shard_fn, sampler=sampler, **kwargs)
     elapsed = time.perf_counter() - t0
 
     n_structures = len(out)

@@ -222,6 +222,7 @@ def sample(
     trim_to_length: bool = True,
     return_history: bool = False,
     shard_fn=None,
+    sampler=None,
 ) -> List[np.ndarray]:
     """
     Batched sampling with a length sweep (reference sampling.sample,
@@ -243,7 +244,12 @@ def sample(
 
     is_angular_arr = np.asarray(is_angular, dtype=bool)
     n_ft = len(is_angular_arr)
-    sampler = build_sampler(model, params, constants, schedule, is_angular_arr, return_history)
+    # Reuse a prebuilt jitted sampler when given: each build_sampler call is a
+    # fresh jit cache, so repeated sample() calls would recompile every shape
+    if sampler is None:
+        sampler = build_sampler(
+            model, params, constants, schedule, is_angular_arr, return_history
+        )
 
     master_key = jax.random.PRNGKey(seed)
     retval: List[np.ndarray] = []

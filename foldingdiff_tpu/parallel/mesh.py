@@ -44,10 +44,17 @@ def pad_to_multiple(n: int, k: int) -> int:
 
 def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
     """
-    Place arrays batch-sharded on the mesh. Batch dims must be divisible by
-    the mesh size (callers pad; see sampling's bucketing).
+    Place arrays batch-sharded on the mesh. Falls back to replication when the
+    batch dim is not divisible by the mesh size (e.g. ragged tail chunks).
     """
-    sharding = batch_sharding(mesh, axis_name)
+    import logging
+
+    divisible = all(a.shape[0] % mesh.size == 0 for a in arrays)
+    if not divisible:
+        logging.debug(
+            f"Batch {arrays[0].shape[0]} not divisible by mesh size {mesh.size}; replicating"
+        )
+    sharding = batch_sharding(mesh, axis_name) if divisible else replicated_sharding(mesh)
     out = tuple(jax.device_put(a, sharding) for a in arrays)
     return out if len(out) > 1 else out[0]
 

@@ -1,0 +1,76 @@
+"""End-to-end CLI smoke: bin/train.py then bin/sample.py on a tiny synthetic
+dataset, CPU. Validates the argparse surfaces and artifact layout that
+downstream eval CLIs consume."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.helpers import make_synthetic_pdb_dir
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("cli")
+    make_synthetic_pdb_dir(str(ws / "pdbs"), n=16, seed=7, min_len=30)
+    cfg = {
+        "angles_definitions": "canonical-full-angles",
+        "timesteps": 10, "max_seq_len": 48, "min_seq_len": 0,
+        "trim_strategy": "leftalign", "variance_schedule": "cosine",
+        "variance_scale": 1.0, "time_encoding": "gaussian_fourier",
+        "position_embedding_type": "relative_key", "num_hidden_layers": 1,
+        "hidden_size": 32, "intermediate_size": 64, "num_heads": 2,
+        "dropout_p": 0.1, "decoder": "mlp", "gradient_clip": 1.0, "lr": 1e-4,
+        "loss": "smooth_l1", "lr_scheduler": None, "min_epochs": 1,
+        "max_epochs": 1, "batch_size": 8, "dataset_key": str(ws / "pdbs"),
+    }
+    with open(ws / "tiny.json", "w") as f:
+        json.dump(cfg, f)
+    return ws
+
+
+def _run(args, cwd):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+
+
+def test_train_then_sample_cli(workspace):
+    r = _run(
+        [os.path.join(REPO, "bin", "train.py"), str(workspace / "tiny.json"),
+         "-o", str(workspace / "results"), "--cpu", "--dryrun"],
+        cwd=str(workspace),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for artifact in ["training_args.json", "config.json", "training_mean_offset.npy",
+                     "train_files.txt", "logs/metrics.csv"]:
+        assert (workspace / "results" / artifact).exists(), artifact
+    assert list((workspace / "results" / "models" / "best_by_valid").glob("*.msgpack"))
+
+    r = _run(
+        [os.path.join(REPO, "bin", "sample.py"), "-m", str(workspace / "results"),
+         "-o", str(workspace / "sampled"), "-l", "30", "32", "-n", "1", "-b", "4",
+         "--cpu", "--noplot"],
+        cwd=str(workspace),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pdbs = list((workspace / "sampled" / "sampled_pdb").glob("*.pdb"))
+    assert len(pdbs) == 2
+    csvs = list((workspace / "sampled" / "sampled_angles").glob("*.csv.gz"))
+    assert len(csvs) == 2
+
+    # Downstream eval CLIs consume the sampled dir
+    r = _run(
+        [os.path.join(REPO, "bin", "annot_secondary_structures.py")]
+        + [str(p) for p in pdbs]
+        + [str(workspace / "ss.pdf")],
+        cwd=str(workspace),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (workspace / "ss.pdf").exists()
