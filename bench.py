@@ -44,12 +44,16 @@ def main():
     variables = model_io.init_model_variables(model, jax.random.PRNGKey(0), pad=128)
     schedule = DiffusionSchedule.create("cosine", timesteps)
 
+    # Single seq bucket (pad=128): remote compiles cost minutes each, far
+    # more than the padded-compute waste of not using a 64 bucket
+    bucket = int(os.environ.get("BENCH_BUCKET", "128"))
     kwargs = dict(
         is_angular=[True] * 6,
         pad=128,
         n=n_per_length,
         sweep_lengths=(50, 128),
         batch_size=batch_size,
+        bucket_multiple=bucket,
         seed=1234,
     )
 
@@ -70,7 +74,7 @@ def main():
     )
     lengths = [l for l in range(50, 128) for _ in range(n_per_length)]
     chunks = [lengths[i : i + batch_size] for i in range(0, len(lengths), batch_size)]
-    shapes = {(len(c), min(128, -(-max(c) // 64) * 64)) for c in chunks}
+    shapes = {(len(c), min(128, -(-max(c) // bucket) * bucket)) for c in chunks}
     for chunk_size, bucket in sorted(shapes):
         warm = dict(kwargs)
         warm.pop("n")

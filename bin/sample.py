@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fullhistory", action="store_true", help="write per-timestep angles")
     parser.add_argument("--nopdb", action="store_true", help="skip PDB writing")
     parser.add_argument("--noplot", action="store_true", help="skip plots")
+    parser.add_argument(
+        "--testcomparison", type=str, default="",
+        help="PDB dir: overlay generated vs test-split angle distributions",
+    )
     parser.add_argument("--cpu", action="store_true")
     return parser
 
@@ -170,11 +174,45 @@ def main():
                 annot_ss=True,
                 title=f"Ramachandran, {len(sampled_dfs)} generated structures",
             )
+        dists = {"generated": all_angles}
+        if args.testcomparison:
+            # Overlay against the real test split (reference bin/sample.py:
+            # 49-102, 400-447)
+            from foldingdiff_tpu.data.datasets import DATASET_CLASSES
+
+            ds_cls = DATASET_CLASSES[train_args["angles_definitions"]]
+            test_ds = ds_cls(
+                pdbs=args.testcomparison,
+                split="test",
+                pad=train_args["max_seq_len"],
+                min_length=train_args.get("min_seq_len", 0),
+                trim_strategy=train_args.get("trim_strategy", "leftalign"),
+                zero_center=False,
+            )
+            rows = []
+            for i in range(len(test_ds)):
+                item = test_ds.__getitem__(i, ignore_zero_center=True)
+                rows.append(item["angles"][: int(item["lengths"])])
+            dists["test data"] = np.concatenate(rows)
         plots.plot_distribution_overlap(
-            {"generated": all_angles},
-            str(plots_dir / "generated_distributions.pdf"),
-            ft_names,
+            dists, str(plots_dir / "generated_distributions.pdf"), ft_names,
         )
+        plots.plot_distribution_overlap(
+            dists, str(plots_dir / "generated_distributions_cdf.pdf"), ft_names,
+            cumulative=True,
+        )
+        if args.testcomparison and "test data" in dists:
+            from scipy import stats
+
+            ks = {
+                ft_names[i]: tuple(
+                    map(float, stats.ks_2samp(all_angles[:, i], dists["test data"][:, i]))
+                )
+                for i in range(len(ft_names))
+            }
+            with open(plots_dir / "ks_tests.json", "w") as f:
+                json.dump(ks, f, indent=2)
+            logging.info(f"KS statistics vs test data: {ks}")
         if not args.nopdb and pdb_files:
             counts = count_structures_parallel(pdb_files)
             counts = [c for c in counts if c != (-1, -1)]

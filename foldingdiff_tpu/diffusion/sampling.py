@@ -220,6 +220,7 @@ def sample(
     mean_offset: Optional[np.ndarray] = None,
     seed: int = 0x1234,
     trim_to_length: bool = True,
+    bucket_multiple: int = 64,
     return_history: bool = False,
     shard_fn=None,
     sampler=None,
@@ -257,9 +258,13 @@ def sample(
     for chunk_i, this_lengths in enumerate(chunks):
         b = len(this_lengths)
         seq_len = max(this_lengths) if trim_to_length else pad
-        # Bucket to multiples of 64: coarse buckets mean at most a couple of
+        # Bucket to multiples of bucket_multiple: coarse buckets mean few
         # compilations per sweep (compile >> padded-compute waste here)
-        seq_len = min(pad, -(-seq_len // 64) * 64) if trim_to_length else pad
+        seq_len = (
+            min(pad, -(-seq_len // bucket_multiple) * bucket_multiple)
+            if trim_to_length
+            else pad
+        )
 
         key = jax.random.fold_in(master_key, chunk_i)
         noise_key, loop_key = jax.random.split(key)
