@@ -46,7 +46,7 @@ def main():
 
     # Single seq bucket (pad=128): remote compiles cost minutes each, far
     # more than the padded-compute waste of not using a 64 bucket
-    bucket = int(os.environ.get("BENCH_BUCKET", "128"))
+    bucket = int(os.environ.get("BENCH_BUCKET", "64"))
     kwargs = dict(
         is_angular=[True] * 6,
         pad=128,
