@@ -152,6 +152,39 @@ def train(
                 f.write("\n".join(ds.filenames))
 
     ft_key = "coords" if angles_definitions == "cart-coords" else "angles"
+
+    # Debug/synthetic noisers (reference bin/train.py:165-195): noise on host
+    # via the wrapper datasets and feed pre-corrupted batches
+    debug_noiser = None
+    if syn_noiser:
+        from foldingdiff_tpu.data.debug_noisers import SynNoisedByPositionDataset
+
+        assert syn_noiser == "halfhalf", f"Unknown synthetic noiser {syn_noiser}"
+        debug_noiser = SynNoisedByPositionDataset(
+            train_ds, dset_key=ft_key, timesteps=timesteps, beta_schedule=variance_schedule
+        )
+    elif single_angle_debug > 0 and single_timestep_debug:
+        from foldingdiff_tpu.data.debug_noisers import SingleNoisedAngleAndTimeDataset
+
+        debug_noiser = SingleNoisedAngleAndTimeDataset(
+            dset=train_ds, dset_key=ft_key, timesteps=timesteps,
+            beta_schedule=variance_schedule, ft_idx=single_angle_debug, seed=seed,
+        )
+    elif single_angle_debug > 0:
+        from foldingdiff_tpu.data.debug_noisers import SingleNoisedAngleDataset
+
+        debug_noiser = SingleNoisedAngleDataset(
+            dset=train_ds, dset_key=ft_key, timesteps=timesteps,
+            beta_schedule=variance_schedule, ft_idx=single_angle_debug, seed=seed,
+        )
+    elif single_timestep_debug:
+        from foldingdiff_tpu.data.debug_noisers import SingleNoisedAngleAndTimeDataset
+
+        debug_noiser = SingleNoisedAngleAndTimeDataset(
+            dset=train_ds, dset_key=ft_key, timesteps=timesteps,
+            beta_schedule=variance_schedule, seed=seed,
+        )
+
     model_config = ModelConfig(
         hidden_size=hidden_size,
         num_hidden_layers=num_hidden_layers,
@@ -224,9 +257,42 @@ def train(
 
     import jax
 
+    if debug_noiser is not None:
+        # n_inputs auto-detected from the noiser output (reference
+        # bin/train.py:421-423)
+        sample_item = debug_noiser[0]
+        n_in = sample_item["corrupted"].shape[-1]
+        model_config = ModelConfig(
+            **{
+                **model_config.__dict__,
+                "ft_is_angular": tuple(train_ds.feature_is_angular[ft_key][:n_in]),
+                "ft_names": tuple(train_ds.feature_names[ft_key][:n_in]),
+            }
+        )
+
     model = BertForDiffusion(model_config)
     trainer = Trainer(model, schedule, tcfg, steps_per_epoch=steps_per_epoch, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(seed), pad=max_seq_len)
+
+    if debug_noiser is not None:
+        logging.warning(f"Training from debug noiser {type(debug_noiser).__name__}")
+        key = jax.random.PRNGKey(seed)
+        rows = []
+        for epoch in range(max_epochs):
+            order = np.random.default_rng(seed + epoch).permutation(len(debug_noiser))
+            losses_e = []
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                items = [debug_noiser[int(i)] for i in order[start : start + batch_size]]
+                batch = {
+                    k: np.stack([it[k] for it in items])
+                    for k in ("corrupted", "t", "known_noise", "attn_mask")
+                }
+                key, sk = jax.random.split(key)
+                state, avg, _ = trainer.train_step_precorrupted(state, batch, sk)
+                losses_e.append(float(avg))
+            rows.append({"epoch": epoch, "train_loss": float(np.mean(losses_e))})
+            logging.info(f"debug epoch {epoch}: {rows[-1]['train_loss']:.4f}")
+        return state, rows
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     logging.info(f"Model has {n_params} trainable parameters")
 

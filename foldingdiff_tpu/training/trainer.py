@@ -267,6 +267,82 @@ class Trainer:
     def _loss_impl(self, params, constants, batch, rng):
         return self._loss_terms(params, constants, batch, rng, deterministic=True)
 
+    # -- pre-corrupted path (debug noisers / exhaustive-t validation) -------
+    def _loss_terms_precorrupted(self, params, constants, batch, rng, deterministic):
+        """Loss on host-noised batches: batch carries corrupted/t/known_noise
+        (the reference's Dataset-noising contract, datasets.py:873-879), used
+        by the synthetic debug noisers and exhaustive-t validation."""
+        pred = self.model.apply(
+            {"params": params, "constants": constants},
+            batch["corrupted"],
+            batch["t"].reshape(-1),
+            batch["attn_mask"],
+            deterministic=deterministic,
+            rngs={"dropout": rng} if not deterministic else {},
+        )
+        is_angular = self.is_angular[: pred.shape[-1]]
+        return _per_feature_losses(
+            pred, batch["known_noise"], batch["attn_mask"], is_angular,
+            self.cfg.loss, self.cfg.circle_reg,
+        )
+
+    def train_step_precorrupted(self, state: TrainState, batch, rng):
+        """One update from a host-noised batch (jitted on first use)."""
+        if not hasattr(self, "_train_step_pre"):
+            def step(state, batch, rng):
+                def loss_fn(params):
+                    terms = self._loss_terms_precorrupted(
+                        params, state.constants, batch, rng, deterministic=False
+                    )
+                    return jnp.mean(terms), terms
+
+                (avg, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                return state.apply_gradients(grads), avg, terms
+
+            self._train_step_pre = jax.jit(step, donate_argnums=(0,))
+        return self._train_step_pre(state, batch, rng)
+
+    def eval_exhaustive_t(
+        self, state: TrainState, data: Dict[str, np.ndarray], n_t: int = 16, seed: int = 0
+    ) -> np.ndarray:
+        """Low-variance validation: per-feature losses averaged over a
+        stratified grid of timesteps (the reference's exhaustive_t validation
+        mode, datasets.py:812-825, without the len*T dataset blowup)."""
+        ts = np.linspace(0, self.schedule.timesteps - 1, num=n_t).astype(np.int32)
+        key = jax.random.PRNGKey(seed)
+        all_terms = []
+        if not hasattr(self, "_eval_at_t"):
+            def eval_at_t(params, constants, batch, t_scalar, rng):
+                x0 = batch["angles"]
+                b = x0.shape[0]
+                t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+                noise = sample_wrapped_noise(
+                    rng, x0.shape, self.is_angular,
+                    self.cfg.angular_variance, self.cfg.nonangular_variance,
+                )
+                corrupted = q_sample(x0, t, noise, self.schedule, self.is_angular)
+                pred = self.model.apply(
+                    {"params": params, "constants": constants},
+                    corrupted, t, batch["attn_mask"], deterministic=True,
+                )
+                return _per_feature_losses(
+                    pred, noise, batch["attn_mask"], self.is_angular,
+                    self.cfg.loss, self.cfg.circle_reg,
+                )
+
+            self._eval_at_t = jax.jit(eval_at_t)
+        bs = self.cfg.batch_size
+        n = data["angles"].shape[0]
+        for t in ts:
+            for start in range(0, n, bs):
+                batch = {k: jnp.asarray(v[start : start + bs]) for k, v in data.items()
+                         if k in ("angles", "attn_mask", "lengths")}
+                key, sk = jax.random.split(key)
+                all_terms.append(np.asarray(self._eval_at_t(
+                    state.params, state.constants, batch, jnp.asarray(int(t)), sk
+                )))
+        return np.mean(np.stack(all_terms), axis=0)
+
     def _step_impl(self, state: TrainState, batch, rng, train: bool = True):
         def loss_fn(params):
             terms = self._loss_terms(params, state.constants, batch, rng, deterministic=False)
