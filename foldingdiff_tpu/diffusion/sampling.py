@@ -97,11 +97,15 @@ def build_sampler(
     is_angular,
     return_history: bool = False,
     start_t: Optional[int] = None,
+    method: str = "ddpm",
+    ddim_steps: int = 50,
+    ddim_eta: float = 0.0,
 ):
     """
     jit-compiled sampler closure: (noise, attn_mask, key) -> samples.
     Weights are closed over as donated-style constants; one compilation per
-    (batch, length) shape.
+    (batch, length) shape. method: "ddpm" (ancestral, reference-parity) or
+    "ddim" (accelerated, ddim_steps model evals).
     """
     variables = {"params": params, "constants": constants}
 
@@ -110,12 +114,66 @@ def build_sampler(
 
     @jax.jit
     def sampler(noise, attn_mask, key):
+        if method == "ddim":
+            return ddim_sample_loop(
+                model_fn, noise, key, attn_mask, schedule, is_angular,
+                n_steps=ddim_steps, eta=ddim_eta, return_history=return_history,
+            )
         return p_sample_loop(
             model_fn, noise, key, attn_mask, schedule, is_angular, return_history,
             start_t=start_t,
         )
 
     return sampler
+
+
+def ddim_sample_loop(
+    model_fn,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    attn_mask: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    is_angular,
+    n_steps: int = 50,
+    eta: float = 0.0,
+    return_history: bool = False,
+) -> jnp.ndarray:
+    """
+    DDIM sampling (Song et al. 2021) over a strided timestep subsequence --
+    an accelerated sampler the reference lacks: eta=0 is deterministic and
+    typically matches DDPM-T quality with 10-20x fewer model evaluations.
+    Angular channels are wrapped after every step like the DDPM path.
+    """
+    T = schedule.timesteps
+    is_angular = jnp.asarray(np.asarray(is_angular, dtype=bool))
+    ts = np.linspace(0, T - 1, num=n_steps, dtype=np.int64)[::-1].copy()
+    ts_prev = np.concatenate([ts[1:], [-1]])
+    abar = jnp.concatenate([schedule.alphas_cumprod, jnp.ones(1)])  # abar[-1] -> 1
+    keys = jax.random.split(key, n_steps)
+
+    def step(x, scan_in):
+        t, t_prev, k = scan_in
+        b = x.shape[0]
+        eps = model_fn(x, jnp.full((b,), t, dtype=jnp.int32), attn_mask)
+        a_t = abar[t]
+        a_prev = abar[t_prev]  # t_prev = -1 indexes the appended 1.0
+        x0_pred = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        sigma = (
+            eta
+            * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
+            * jnp.sqrt(jnp.maximum(1.0 - a_t / a_prev, 0.0))
+        )
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+        x_next = jnp.sqrt(a_prev) * x0_pred + dir_xt
+        if eta > 0:
+            x_next = x_next + sigma * jax.random.normal(k, x.shape, dtype=x.dtype)
+        x_next = jnp.where(is_angular, wrap_angles(x_next), x_next)
+        return x_next, (x_next if return_history else None)
+
+    x_final, hist = jax.lax.scan(
+        step, noise, (jnp.asarray(ts), jnp.asarray(ts_prev), keys)
+    )
+    return hist if return_history else x_final
 
 
 def sample_simple(model_dir: str, n: int = 10, sweep_lengths: Tuple[int, int] = (50, 128)):
@@ -222,6 +280,9 @@ def sample(
     trim_to_length: bool = True,
     bucket_multiple: int = 64,
     return_history: bool = False,
+    method: str = "ddpm",
+    ddim_steps: int = 50,
+    ddim_eta: float = 0.0,
     shard_fn=None,
     sampler=None,
 ) -> List[np.ndarray]:
@@ -249,7 +310,8 @@ def sample(
     # fresh jit cache, so repeated sample() calls would recompile every shape
     if sampler is None:
         sampler = build_sampler(
-            model, params, constants, schedule, is_angular_arr, return_history
+            model, params, constants, schedule, is_angular_arr, return_history,
+            method=method, ddim_steps=ddim_steps, ddim_eta=ddim_eta,
         )
 
     master_key = jax.random.PRNGKey(seed)

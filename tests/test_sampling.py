@@ -213,3 +213,60 @@ class TestMeshShardedSampling(_TinyModelMixin):
         )
         for x, y in zip(plain, sharded):
             np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+class TestDDIM(_TinyModelMixin):
+    def test_ddim_deterministic_eta0(self):
+        from foldingdiff_tpu.diffusion.sampling import ddim_sample_loop
+
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 50)
+        noise = sample_wrapped_noise(jax.random.PRNGKey(0), (2, 16, 6), IS_ANGULAR)
+        mask = jnp.ones((2, 16))
+
+        def model_fn(x, t, m):
+            return model.apply(variables, x, t, m, deterministic=True)
+
+        a = ddim_sample_loop(model_fn, noise, jax.random.PRNGKey(1), mask, sched, IS_ANGULAR, n_steps=10)
+        b = ddim_sample_loop(model_fn, noise, jax.random.PRNGKey(2), mask, sched, IS_ANGULAR, n_steps=10)
+        # eta=0: no stochastic term, different keys give identical outputs
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.asarray(a).min() >= -np.pi and np.asarray(a).max() <= np.pi
+
+    def test_ddim_full_steps_eta1_close_to_ddpm_stats(self):
+        """DDIM with S=T and eta=1 IS ancestral sampling: distributions match
+        DDPM (different RNG stream, so compare statistically)."""
+        from scipy import stats
+
+        from foldingdiff_tpu.diffusion.sampling import ddim_sample_loop
+
+        model, variables = self.get_model()
+        T = 25
+        sched = DiffusionSchedule.create("linear", T)
+        b, l = 64, 16
+        noise = sample_wrapped_noise(jax.random.PRNGKey(0), (b, l, 6), IS_ANGULAR)
+        mask = jnp.ones((b, l))
+
+        def model_fn(x, t, m):
+            return model.apply(variables, x, t, m, deterministic=True)
+
+        ddim = np.asarray(
+            ddim_sample_loop(model_fn, noise, jax.random.PRNGKey(1), mask, sched,
+                             IS_ANGULAR, n_steps=T, eta=1.0)
+        )
+        ddpm = np.asarray(
+            samp.p_sample_loop(model_fn, noise, jax.random.PRNGKey(2), mask, sched, IS_ANGULAR)
+        )
+        for i in range(6):
+            stat, p = stats.ks_2samp(ddim[..., i].ravel(), ddpm[..., i].ravel())
+            assert stat < 0.08, (i, stat, p)
+
+    def test_sample_with_ddim_method(self):
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 100)
+        out = samp.sample(
+            model, variables["params"], variables["constants"], sched,
+            is_angular=IS_ANGULAR, pad=32, n=1, sweep_lengths=(10, 12), batch_size=4,
+            method="ddim", ddim_steps=10, seed=0,
+        )
+        assert len(out) == 2 and out[0].shape == (10, 6)
