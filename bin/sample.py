@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("-b", "--batchsize", type=int, default=512)
     parser.add_argument("--seed", type=int, default=int("0x1234", 16))
+    parser.add_argument(
+        "--method", type=str, default="ddpm", choices=["ddpm", "ddim"],
+        help="ddpm = reference-parity ancestral; ddim = accelerated",
+    )
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--ddim_eta", type=float, default=0.0)
     parser.add_argument("--fullhistory", action="store_true", help="write per-timestep angles")
     parser.add_argument("--nopdb", action="store_true", help="skip PDB writing")
     parser.add_argument("--noplot", action="store_true", help="skip plots")
@@ -133,6 +139,9 @@ def main():
         mean_offset=mean_offset,
         seed=args.seed,
         return_history=args.fullhistory,
+        method=args.method,
+        ddim_steps=args.ddim_steps,
+        ddim_eta=args.ddim_eta,
         shard_fn=shard_fn,
     )
     final = [s[-1] if args.fullhistory else s for s in sampled]
