@@ -42,6 +42,27 @@ def _act(name: str):
     raise ValueError(f"Unsupported activation {name}")
 
 
+def _relative_scores_skew(q: jnp.ndarray, table: jnp.ndarray, max_pos: int) -> jnp.ndarray:
+    """
+    relative_key scores rel[b,h,l,r] = q[b,h,l] . table[l-r+M-1] computed as
+    ONE well-shaped matmul against the (reversed) embedding table plus a
+    pad/reshape "skew" realignment -- instead of the naive
+    einsum('bhld,lrd->bhlr') which lowers to L tiny (BH x D x L) batched
+    matmuls (measured 2.4 ms/step of the 5.5 ms sampling step at B=64).
+    Numerically identical (same dot products, reassociation-free).
+    """
+    b, h, l, d = q.shape
+    m = max_pos
+    p = jnp.einsum("bhld,kd->bhlk", q, table[::-1])  # (B, H, L, 2M-1)
+    p = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (B, H, L, 2M)
+    flat = p.reshape(b, h, l * 2 * m)
+    need = m + l * (2 * m - 1)
+    if need > flat.shape[-1]:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, need - flat.shape[-1])))
+    flat = jax.lax.dynamic_slice_in_dim(flat, m, l * (2 * m - 1), axis=2)
+    return flat.reshape(b, h, l, 2 * m - 1)[..., :l]
+
+
 class SelfAttention(nn.Module):
     """HF BertSelfAttention numerics incl. relative_key position scoring.
 
@@ -77,19 +98,29 @@ class SelfAttention(nn.Module):
         k = proj("key")
         v = proj("value")
 
-        dist_emb = None
+        m = cfg.max_position_embeddings
+        table = None
+        use_skew = (
+            cfg.relative_scores_impl == "skew"
+            and cfg.position_embedding_type == "relative_key"
+        )
         if cfg.position_embedding_type in ("relative_key", "relative_key_query"):
-            # distance matrix from the (shared) position ids; HF computes it
-            # from arange, equivalent for our always-arange position_ids
-            pos_l = position_ids[0][:, None]
-            pos_r = position_ids[0][None, :]
-            distance = pos_l - pos_r  # (L, L)
-            dist_emb = nn.Embed(
-                2 * cfg.max_position_embeddings - 1,
+            dist_module = nn.Embed(
+                2 * m - 1,
                 d,
                 name="distance_embedding",
                 embedding_init=nn.initializers.normal(stddev=cfg.initializer_range),
-            )(distance + cfg.max_position_embeddings - 1)
+            )
+            # Identity lookup materializes the full table (and creates the
+            # params); XLA folds it away
+            table = dist_module(jnp.arange(2 * m - 1))
+
+        def gather_dist_emb():
+            # distance matrix from the (shared) position ids; HF computes it
+            # from arange, equivalent for our always-arange position_ids
+            pos = position_ids[0]
+            distance = pos[:, None] - pos[None, :]  # (L, L)
+            return table[distance + m - 1]
 
         if (
             self._use_pallas(deterministic)
@@ -97,14 +128,20 @@ class SelfAttention(nn.Module):
         ):
             from foldingdiff_tpu.ops.pallas_attention import fused_attention
 
-            ctx = fused_attention(q, k, v, attn_bias_2d, dist_emb)
+            ctx = fused_attention(
+                q, k, v, attn_bias_2d, gather_dist_emb() if table is not None else None
+            )
             return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
         scores = jnp.einsum("bhld,bhmd->bhlm", q, k)
-        if dist_emb is not None:
-            scores = scores + jnp.einsum("bhld,lrd->bhlr", q, dist_emb)
-            if cfg.position_embedding_type == "relative_key_query":
-                scores = scores + jnp.einsum("bhrd,lrd->bhlr", k, dist_emb)
+        if table is not None:
+            if use_skew:
+                scores = scores + _relative_scores_skew(q, table, m)
+            else:
+                dist_emb = gather_dist_emb()
+                scores = scores + jnp.einsum("bhld,lrd->bhlr", q, dist_emb)
+                if cfg.position_embedding_type == "relative_key_query":
+                    scores = scores + jnp.einsum("bhrd,lrd->bhlr", k, dist_emb)
 
         scores = scores / jnp.sqrt(jnp.asarray(d, dtype=scores.dtype))
         scores = scores + attn_bias_2d[:, None, None, :]

@@ -41,6 +41,11 @@ class ModelConfig:
     # -- and XLA einsums elsewhere; "xla" forces the einsum path (needed for
     # gradients/dropout); "pallas" forces the kernel.
     attention_impl: str = "auto"
+    # relative_key score computation: "skew" = one big matmul against the
+    # reversed table + pad/reshape realignment (fast); "gather" = the naive
+    # HF-style einsum over gathered embeddings (reference semantics baseline).
+    # Both are numerically identical.
+    relative_scores_impl: str = "skew"
 
     @property
     def n_inputs(self) -> int:
