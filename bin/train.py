@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dryrun", action="store_true", help="skip plots and extras")
     parser.add_argument("--epochs", default=None, type=int, help="override max/min epochs")
     parser.add_argument("--batchsize", default=None, type=int)
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed (TPU pod slices; mesh spans all hosts)",
+    )
+    parser.add_argument("--resume", action="store_true", help="resume from train_state checkpoint")
     return parser
 
 
@@ -44,6 +49,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from foldingdiff_tpu.training.orchestration import train
 
@@ -61,6 +70,7 @@ def main():
         "max_epochs": args.epochs,
         "min_epochs": args.epochs,
         "batch_size": args.batchsize,
+        "resume": args.resume or None,
     }
     config = update_dict_nonnull(config, {k: v for k, v in overrides.items() if v is not None})
     # Accepted-for-parity keys that train() does not take

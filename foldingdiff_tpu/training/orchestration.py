@@ -125,6 +125,8 @@ def train(
     seed: int = 42,
     zero_center: bool = True,
     use_mesh: bool = True,
+    resume: bool = False,
+    save_state_every: int = 25,
 ):
     """Main training entry, mirroring reference bin/train.py:287-507."""
     func_args = dict(locals())
@@ -305,6 +307,8 @@ def train(
         train_args=func_args,
         mean_offset=mean_offset,
         log_every=1,
+        resume=resume,
+        save_state_every=save_state_every,
     )
 
     if not dryrun:
