@@ -110,7 +110,7 @@ def train(
     max_epochs: int = 10000,
     early_stop_patience: int = 0,
     lr_scheduler: Optional[str] = None,
-    use_swa: bool = False,  # accepted for config parity; SWA not implemented
+    use_swa: bool = False,  # stochastic weight averaging over final 20% of epochs
     # Misc / debugging
     multithread: bool = True,
     subset=False,
