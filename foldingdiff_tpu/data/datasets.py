@@ -300,6 +300,20 @@ class AngleDataset:
         items = [self[i] for i in range(len(self))]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
+    def get_feature_mean_var(self, ft_name: str):
+        """(mean, var) of one feature over unmasked positions
+        (reference datasets.py:464-480)."""
+        names = self.feature_names.get("angles", self.feature_names.get("coords"))
+        assert ft_name in names, f"Unknown feature {ft_name}"
+        idx = names.index(ft_name)
+        key = "angles" if "angles" in self.feature_names else "coords"
+        vals = []
+        for i in range(len(self)):
+            item = self[i]
+            vals.append(item[key][item["attn_mask"] > 0, idx])
+        concat = np.concatenate(vals)
+        return float(np.mean(concat)), float(np.var(concat))
+
 
 class AnglesOnlyDataset(AngleDataset):
     """6-angle feature subset (reference CathCanonicalAnglesOnlyDataset)."""
