@@ -67,9 +67,13 @@ def p_sample_loop(
     is_angular,
     return_history: bool = False,
     start_t: Optional[int] = None,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """
-    Reverse chain (start_t or T)-1 .. 0 as one scan. Returns final x
+    Reverse chain (start_t or T)-1 .. 0 as one scan. unroll > 1 pipelines
+    consecutive steps (~10% faster at unroll=4 on v5e) at the cost of
+    proportionally longer compiles -- off by default because compiles through
+    a remote-compile service dominate. Returns final x
     (B, L, F), or the full (start_t, B, L, F) trajectory when return_history
     (reference keeps history always; we make it opt-in to avoid the T-times
     memory). start_t < T runs a partial reverse chain (used by
@@ -85,7 +89,7 @@ def p_sample_loop(
         return x_next, (x_next if return_history else None)
 
     ts = jnp.arange(timesteps - 1, -1, -1)
-    x_final, hist = jax.lax.scan(step, noise, (ts, keys))
+    x_final, hist = jax.lax.scan(step, noise, (ts, keys), unroll=unroll)
     return hist if return_history else x_final
 
 
