@@ -92,7 +92,10 @@ class SelfAttention(nn.Module):
         h, d = cfg.num_attention_heads, cfg.attention_head_size
 
         def proj(name):
-            return nn.Dense(h * d, name=name)(hidden).reshape(b, l, h, d).transpose(0, 2, 1, 3)
+            # Keep (B, L, H, D) layout: explicit head transposes showed up as
+            # ~27% of step time (layout copies) in the TPU profile; einsums
+            # below contract directly from this layout
+            return nn.Dense(h * d, name=name)(hidden).reshape(b, l, h, d)
 
         q = proj("query")
         k = proj("key")
@@ -129,26 +132,30 @@ class SelfAttention(nn.Module):
             from foldingdiff_tpu.ops.pallas_attention import fused_attention
 
             ctx = fused_attention(
-                q, k, v, attn_bias_2d, gather_dist_emb() if table is not None else None
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), attn_bias_2d,
+                gather_dist_emb() if table is not None else None,
             )
             return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
-        scores = jnp.einsum("bhld,bhmd->bhlm", q, k)
+        scores = jnp.einsum("blhd,bmhd->bhlm", q, k)
         if table is not None:
             if use_skew:
-                scores = scores + _relative_scores_skew(q, table, m)
+                scores = scores + _relative_scores_skew(
+                    q.transpose(0, 2, 1, 3), table, m
+                )
             else:
                 dist_emb = gather_dist_emb()
-                scores = scores + jnp.einsum("bhld,lrd->bhlr", q, dist_emb)
+                scores = scores + jnp.einsum("blhd,lrd->bhlr", q, dist_emb)
                 if cfg.position_embedding_type == "relative_key_query":
-                    scores = scores + jnp.einsum("bhrd,lrd->bhlr", k, dist_emb)
+                    scores = scores + jnp.einsum("brhd,lrd->bhlr", k, dist_emb)
 
         scores = scores / jnp.sqrt(jnp.asarray(d, dtype=scores.dtype))
         scores = scores + attn_bias_2d[:, None, None, :]
         probs = nn.softmax(scores, axis=-1)
         probs = nn.Dropout(cfg.attention_probs_dropout_prob)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v)
-        return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+        ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+        return ctx.reshape(b, l, h * d)
 
 
 class Layer(nn.Module):
