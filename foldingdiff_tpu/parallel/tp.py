@@ -1,0 +1,105 @@
+"""
+2-D mesh (data x model) tensor parallelism for the denoiser.
+
+The reference model (<=25M params) needs only data parallelism, but the mesh
+layer is written to generalize (SURVEY.md section 2.5). This module provides
+Megatron-style parameter shardings for the BERT body over a ("data", "model")
+mesh: attention q/k/v and the FFN up-projection shard their OUTPUT features
+(column parallel), the attention output projection and FFN down-projection
+shard their INPUT features (row parallel); LayerNorms/embeddings/head
+replicate. Under jit, XLA GSPMD propagates these shardings through the
+einsums and inserts the reduce-scatter/all-reduce collectives -- no
+hand-written communication.
+
+Equality with single-device execution is tested on the virtual 8-device CPU
+mesh (tests/test_tensor_parallel.py).
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_data * n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def _spec_for(path: str) -> P:
+    """PartitionSpec for a flattened parameter path (flax tree, '/'-joined)."""
+    # Column parallel (shard output dim = last axis of the kernel):
+    if re.search(r"attention_self/(query|key|value)/kernel", path):
+        return P(None, "model")
+    if re.search(r"intermediate_dense/kernel", path):
+        return P(None, "model")
+    # Row parallel (shard input dim = first axis):
+    if re.search(r"attention_output_dense/kernel", path):
+        return P("model", None)
+    if re.search(r"output_dense/kernel", path) and "attention" not in path:
+        return P("model", None)
+    # Matching biases of column-parallel layers shard on their only axis
+    if re.search(r"attention_self/(query|key|value)/bias", path):
+        return P("model")
+    if re.search(r"intermediate_dense/bias", path):
+        return P("model")
+    # distance_embedding rides with the per-head dim only if heads shard
+    # cleanly; keep replicated for correctness (it is tiny)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for the model params over a 2-D mesh."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(
+            getattr(k, "key", getattr(k, "idx", str(k))) if not isinstance(k, str) else k
+            for k in [getattr(p, "key", p) for p in kp]
+        )
+
+    def to_sharding(kp, leaf):
+        return NamedSharding(mesh, _spec_for(path_str(kp)))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params with TP shardings; head-dim divisibility is validated for
+    the sharded kernels."""
+    shardings = param_shardings(params, mesh)
+
+    def place(x, s):
+        spec = s.spec
+        for dim, axis in enumerate(spec):
+            if axis is not None:
+                size = mesh.shape[axis] if isinstance(axis, str) else 1
+                assert x.shape[dim] % size == 0, (
+                    f"dim {dim} of {x.shape} not divisible by mesh axis {axis}={size}"
+                )
+        return jax.device_put(x, s)
+
+    return jax.tree.map(place, params, shardings)
+
+
+def tp_forward_sharded(model, params, constants, mesh: Mesh, batch_args, batch_kwargs=None):
+    """Run model.apply with TP-sharded params and data-sharded batch."""
+    batch_kwargs = batch_kwargs or {}
+    data_sharding = NamedSharding(mesh, P("data"))
+    batch_args = tuple(jax.device_put(a, data_sharding) for a in batch_args)
+    sharded_params = shard_params(params, mesh)
+    constants_r = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), constants
+    )
+
+    @jax.jit
+    def fwd(p, c, *args):
+        return model.apply({"params": p, "constants": c}, *args, **batch_kwargs)
+
+    return fwd(sharded_params, constants_r, *batch_args)
