@@ -56,9 +56,24 @@ TRIM_STRATEGIES = ("leftalign", "randomcrop", "discard")
 
 
 def _featurize_one(fname: str):
-    feats = canonical_distances_and_dihedrals(
-        fname, distances=EXHAUSTIVE_DISTS, angles=EXHAUSTIVE_ANGLES
-    )
+    # Prefer the native C++ featurizer (csrc/featurize.cpp); numerically
+    # identical to the python path (tests/test_native_featurize.py)
+    feats = None
+    try:
+        from foldingdiff_tpu.data import featurize_native
+
+        if featurize_native.available():
+            arr = featurize_native.featurize_pdb_native(fname)
+            if arr is not None:
+                import pandas as pd
+
+                feats = pd.DataFrame(arr, columns=featurize_native.COLUMNS)
+    except Exception:
+        feats = None
+    if feats is None:
+        feats = canonical_distances_and_dihedrals(
+            fname, distances=EXHAUSTIVE_DISTS, angles=EXHAUSTIVE_ANGLES
+        )
     if feats is None:
         return None
     coords = extract_backbone_coords(fname, atoms=("CA",))
