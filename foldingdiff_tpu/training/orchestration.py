@@ -309,6 +309,7 @@ def train(
         log_every=1,
         resume=resume,
         save_state_every=save_state_every,
+        write_preds_to_dir=str(results_folder / "valid_preds") if write_valid_preds else None,
     )
 
     if not dryrun:

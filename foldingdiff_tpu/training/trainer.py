@@ -394,11 +394,29 @@ class Trainer:
         log_every: int = 0,
         resume: bool = False,
         save_state_every: int = 0,
+        write_preds_to_dir: Optional[str] = None,
+        handle_preemption: bool = True,
     ) -> Tuple[TrainState, List[Dict[str, float]]]:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
         host_rng = np.random.default_rng(cfg.seed)
         metrics_rows: List[Dict[str, float]] = []
+
+        # Preemption handling (absent in the reference, SURVEY.md section 5):
+        # on SIGTERM/SIGINT finish the current step, checkpoint the full train
+        # state, and exit cleanly; restart with resume=True continues.
+        preempted = {"flag": False}
+        if handle_preemption and results_dir is not None:
+            import signal
+
+            def _on_term(signum, frame):
+                logging.warning(f"Signal {signum}: checkpointing train state at epoch end")
+                preempted["flag"] = True
+
+            try:
+                signal.signal(signal.SIGTERM, _on_term)
+            except ValueError:
+                pass  # not the main thread
 
         start_epoch = 0
         if resume and results_dir is not None:
@@ -439,10 +457,15 @@ class Trainer:
             val_loss, val_terms = np.nan, np.full(len(pseudo_names), np.nan)
             if valid_data is not None:
                 vlosses = []
-                for batch in self._batches(valid_data, host_rng, shuffle=False):
+                for bi, batch in enumerate(self._batches(valid_data, host_rng, shuffle=False)):
                     key, step_key = jax.random.split(key)
                     terms = self._eval_step(state.params, state.constants, batch, step_key)
                     vlosses.append(np.asarray(terms))
+                    if write_preds_to_dir and bi == 0:
+                        self._write_val_preds(
+                            write_preds_to_dir, state, batch, step_key, epoch,
+                            np.asarray(terms),
+                        )
                 if vlosses:
                     val_terms = np.mean(np.stack(vlosses), axis=0)
                     val_loss = float(np.mean(val_terms))
@@ -488,6 +511,13 @@ class Trainer:
 
                 save_train_state(results_dir, state, epoch)
 
+            if preempted["flag"]:
+                from foldingdiff_tpu.training.checkpoint import save_train_state
+
+                path = save_train_state(results_dir, state, epoch)
+                logging.warning(f"Preemption checkpoint written to {path}; stopping")
+                break
+
             # Early stopping on val loss (reference EarlyStopping callback)
             if cfg.early_stop_patience and valid_data is not None:
                 if val_loss < best_val_loss:
@@ -527,6 +557,31 @@ class Trainer:
             _, _, stale = heap.pop()
             if os.path.exists(stale):
                 os.remove(stale)
+
+    def _write_val_preds(self, out_dir, state, batch, rng, epoch, loss_terms):
+        """Per-epoch validation prediction dump (reference write_preds_to_dir,
+        modelling.py:547-551, 606-614): known vs predicted noise + mask."""
+        import json as _json
+
+        os.makedirs(out_dir, exist_ok=True)
+        t_key, n_key = jax.random.split(rng)
+        x0 = batch["angles"]
+        b = np.asarray(x0).shape[0]
+        t = jax.random.randint(t_key, (b,), 0, self.schedule.timesteps)
+        noise = sample_wrapped_noise(n_key, np.asarray(x0).shape, self.is_angular)
+        corrupted = q_sample(jnp.asarray(x0), t, noise, self.schedule, self.is_angular)
+        pred = self.model.apply(
+            {"params": state.params, "constants": state.constants},
+            corrupted, t, jnp.asarray(batch["attn_mask"]), deterministic=True,
+        )
+        payload = {
+            "known_noise": np.asarray(noise).tolist(),
+            "predicted_noise": np.asarray(pred).tolist(),
+            "attn_mask": np.asarray(batch["attn_mask"]).tolist(),
+            "losses": [float(x) for x in loss_terms],
+        }
+        with open(os.path.join(out_dir, f"{epoch}_preds.json"), "w") as f:
+            _json.dump(payload, f)
 
     @staticmethod
     def _write_metrics_csv(results_dir: str, rows: List[Dict[str, float]]):

@@ -68,3 +68,47 @@ def test_resume_continues_training(tmp_path):
     )
     assert len(rows2) == 0  # already at max_epochs
     assert int(state2.step) == int(state.step)
+
+
+def test_preemption_signal_checkpoints(tmp_path):
+    """SIGTERM mid-training saves the full train state and stops cleanly."""
+    import os
+    import signal
+    import threading
+
+    sched = DiffusionSchedule.create("linear", 10)
+    tcfg = TrainConfig(lr=1e-3, batch_size=8, max_epochs=10_000, lr_scheduler=None, seed=0)
+    trainer = Trainer(BertForDiffusion(CONFIG), sched, tcfg, steps_per_epoch=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), pad=16)
+
+    timer = threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        state, rows = trainer.fit(
+            state, _data(), results_dir=str(tmp_path), model_config=CONFIG, train_args={},
+        )
+    finally:
+        timer.cancel()
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    assert len(rows) < 10_000  # stopped early
+    assert latest_train_state(str(tmp_path)) is not None
+
+
+def test_write_valid_preds(tmp_path):
+    import glob
+    import json
+
+    sched = DiffusionSchedule.create("linear", 10)
+    tcfg = TrainConfig(lr=1e-3, batch_size=8, max_epochs=2, lr_scheduler=None, seed=0)
+    trainer = Trainer(BertForDiffusion(CONFIG), sched, tcfg, steps_per_epoch=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), pad=16)
+    data = _data()
+    state, rows = trainer.fit(
+        state, data, valid_data=data, results_dir=str(tmp_path), model_config=CONFIG,
+        train_args={}, write_preds_to_dir=str(tmp_path / "valid_preds"),
+    )
+    preds = sorted(glob.glob(str(tmp_path / "valid_preds" / "*_preds.json")))
+    assert len(preds) == 2
+    with open(preds[0]) as f:
+        d = json.load(f)
+    assert set(d.keys()) == {"known_noise", "predicted_noise", "attn_mask", "losses"}
