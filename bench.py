@@ -17,6 +17,15 @@ import time
 
 
 def main():
+    try:
+        _run_bench()
+    except Exception as e:  # noqa: BLE001 -- one retry at a smaller batch
+        print(f"bench failed at default batch ({e!r}); retrying at batch 32", file=sys.stderr)
+        os.environ["BENCH_BATCH"] = "32"
+        _run_bench()
+
+
+def _run_bench():
     import jax
 
     from foldingdiff_tpu.diffusion import sampling as samp

@@ -110,7 +110,7 @@ def main():
         shutil.rmtree(snapshot)
     shutil.copytree(
         args.model, snapshot,
-        ignore=shutil.ignore_patterns("logs", "plots", "*.log", "valid_preds"),
+        ignore=shutil.ignore_patterns("logs", "plots", "*.log", "valid_preds", "train_state"),
     )
 
     import jax

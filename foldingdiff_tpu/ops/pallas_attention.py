@@ -60,7 +60,7 @@ def _one_head_t(q_t, k, v, bias_col, elt, scale):
     )
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float, n_heads: int, rel: bool):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float, n_heads: int):
     bb = q_ref.shape[0]
 
     def body(i, _):
@@ -118,7 +118,7 @@ def fused_attention(
     vmem_bytes = (3 * bb * h * l * d + 2 * l * l * d + bb * h * l * d) * 4 + (1 << 21)
 
     if e_lr is None:
-        kernel = functools.partial(_attn_kernel, scale=scale, n_heads=h, rel=False)
+        kernel = functools.partial(_attn_kernel, scale=scale, n_heads=h)
         in_specs = [qt_spec, kv_spec, kv_spec, bias_spec]
         args = (q_t, k, v, bias_col)
     else:
