@@ -1,0 +1,95 @@
+"""
+End-to-end evaluation-pipeline integration: sample from the mini model, build
+PDBs, fabricate 'refolded' structures with the scTM naming convention, and run
+the scTM / lDDT / clustering / novelty machinery on them -- verifying the
+pipeline pieces interoperate on real files (the reference's multi-env pipeline
+from SURVEY 3.4, minus the external neural tools).
+"""
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+# bin/ is importable as a package from the repo root
+
+MODEL_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "mini_model_for_testing", "results"
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(tmp_path_factory):
+    import pandas as pd
+
+    from foldingdiff_tpu.diffusion.sampling import sample_simple
+    from foldingdiff_tpu.geometry.featurize import create_new_chain_nerf
+    from foldingdiff_tpu.geometry.pdb import extract_backbone_coords, write_coords_to_pdb
+
+    root = tmp_path_factory.mktemp("pipeline")
+    sampled_dir = root / "sampled_pdb"
+    folded_dir = root / "folded"
+    sampled_dir.mkdir()
+    folded_dir.mkdir()
+
+    dfs = sample_simple(MODEL_DIR, n=2, sweep_lengths=(45, 48))
+    rng = np.random.default_rng(0)
+    for i, df in enumerate(dfs):
+        out = create_new_chain_nerf(str(sampled_dir / f"generated_{i}.pdb"), df)
+        assert out
+        # Fabricate 3 "refolded" structures per backbone: the real CA coords
+        # jittered, named like the inverse-fold+refold outputs
+        ca = extract_backbone_coords(out, atoms=("N", "CA", "C"))
+        for j in range(3):
+            noisy = ca + rng.normal(scale=0.3 * (j + 1), size=ca.shape)
+            write_coords_to_pdb(
+                noisy, str(folded_dir / f"generated_{i}_{j}_residues_test.pdb")
+            )
+    return sampled_dir, folded_dir
+
+
+def test_sctm_scoring(pipeline_dirs):
+    from bin.sctm import get_sctm_score
+
+    sampled_dir, folded_dir = pipeline_dirs
+    for pdb in sorted(sampled_dir.glob("*.pdb")):
+        score, ref = get_sctm_score(pdb, folded_dir)
+        assert 0.3 < score <= 1.0, (pdb, score)
+        assert os.path.basename(ref).startswith(pdb.stem)
+
+
+def test_lddt_fanout(pipeline_dirs, tmp_path):
+    from foldingdiff_tpu.metrics.lddt import lddt_sampled_folded
+
+    sampled_dir, folded_dir = pipeline_dirs
+    out = lddt_sampled_folded(sampled_dir, folded_dir, out_path=str(tmp_path / "lddt.json"))
+    assert len(out) == len(list(sampled_dir.glob("*.pdb")))
+    for scores in out.values():
+        assert len(scores) == 3
+        # Less-jittered refolds must score higher
+        vals = [scores[k] for k in sorted(scores)]
+        assert vals[0] > vals[-1]
+        assert all(0 <= v <= 1 for v in vals)
+
+
+def test_pairwise_tm_and_clustering(pipeline_dirs):
+    from bin.hclust_structures import get_pairwise_tmscores
+
+    sampled_dir, folded_dir = pipeline_dirs
+    fnames = sorted(str(p) for p in folded_dir.glob("*.pdb"))
+    mat = get_pairwise_tmscores(fnames, nthreads=1)
+    assert mat.shape == (len(fnames), len(fnames))
+    assert np.allclose(np.diag(mat), 1.0)
+    assert np.allclose(mat, mat.T, atol=0.15)  # TM is not exactly symmetric
+
+
+def test_training_novelty(pipeline_dirs):
+    from foldingdiff_tpu.eval.tmscore import max_tm_across_refs
+
+    sampled_dir, folded_dir = pipeline_dirs
+    queries = sorted(str(p) for p in sampled_dir.glob("*.pdb"))
+    refs = sorted(str(p) for p in folded_dir.glob("*.pdb"))
+    score, best = max_tm_across_refs(queries[0], refs, parallel=False)
+    assert 0 < score <= 1.0
+    assert best in refs
