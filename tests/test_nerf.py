@@ -228,3 +228,72 @@ class TestPDBIO:
         assert np.isclose(np.nanmean(feats["N:CA"].values[:-1]), 1.46, atol=0.05)
         assert np.isclose(np.nanmean(feats["CA:C"].values[:-1]), 1.54, atol=0.05)
         assert np.isclose(np.nanmean(feats["0C:1N"].values[:-1]), 1.34, atol=0.05)
+
+
+class TestPDBParserRobustness:
+    def _write(self, tmp_path, lines, name="t.pdb"):
+        p = tmp_path / name
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    @staticmethod
+    def _atom(serial, name, res, chain, resid, x, y, z, altloc=" ", icode=" "):
+        name_field = f" {name:<3s}" if len(name) < 4 else name
+        return (
+            f"ATOM  {serial:>5d} {name_field}{altloc}{res:>3s} {chain}{resid:>4d}{icode}   "
+            f"{x:>8.3f}{y:>8.3f}{z:>8.3f}  1.00  5.00           {name[0]:>2s}"
+        )
+
+    def test_altloc_first_wins(self, tmp_path):
+        lines = [
+            self._atom(1, "N", "ALA", "A", 1, 0, 0, 0, altloc="A"),
+            self._atom(2, "N", "ALA", "A", 1, 9, 9, 9, altloc="B"),
+            self._atom(3, "CA", "ALA", "A", 1, 1, 0, 0),
+            self._atom(4, "C", "ALA", "A", 1, 2, 0, 0),
+        ]
+        bb = pdb.read_pdb(self._write(tmp_path, lines)).backbone_coords()
+        assert len(bb) == 3
+        np.testing.assert_allclose(bb[0], [0, 0, 0])
+
+    def test_multi_model_detected(self, tmp_path):
+        lines = ["MODEL     1",
+                 self._atom(1, "N", "GLY", "A", 1, 0, 0, 0),
+                 "ENDMDL", "MODEL     2",
+                 self._atom(1, "N", "GLY", "A", 1, 5, 5, 5),
+                 "ENDMDL"]
+        f = self._write(tmp_path, lines)
+        assert pdb.get_model_count(f) == 2
+        assert featurize.canonical_distances_and_dihedrals(f) is None
+
+    def test_hetatm_excluded(self, tmp_path):
+        lines = [
+            self._atom(1, "N", "GLY", "A", 1, 0, 0, 0),
+            self._atom(2, "CA", "GLY", "A", 1, 1, 0, 0),
+            self._atom(3, "C", "GLY", "A", 1, 2, 0, 0),
+            self._atom(4, "N", "HOH", "A", 2, 3, 0, 0),  # not an amino acid
+        ]
+        bb = pdb.read_pdb(self._write(tmp_path, lines)).backbone_coords()
+        assert len(bb) == 3
+
+    def test_gzip_supported(self, tmp_path):
+        import gzip
+        import shutil
+
+        gz = str(tmp_path / "1crn.pdb.gz")
+        with open(CRN, "rb") as fin, gzip.open(gz, "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+        feats = featurize.canonical_distances_and_dihedrals(
+            gz, distances=featurize.EXHAUSTIVE_DISTS, angles=featurize.EXHAUSTIVE_ANGLES
+        )
+        assert feats is not None and len(feats) == 46
+
+    def test_insertion_codes_distinct_residues(self, tmp_path):
+        lines = []
+        serial = 1
+        for icode in (" ", "A"):
+            for j, nm in enumerate(["N", "CA", "C"]):
+                lines.append(self._atom(serial, nm, "GLY", "A", 1,
+                                        serial * 1.0, 0, 0, icode=icode))
+                serial += 1
+        bb = pdb.read_pdb(self._write(tmp_path, lines)).backbone_coords()
+        assert len(bb) == 6  # two residues, not one
