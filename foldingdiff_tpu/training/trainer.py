@@ -363,8 +363,9 @@ class Trainer:
         n = data["angles"].shape[0]
         idx = rng.permutation(n) if shuffle else np.arange(n)
         bs = self.cfg.batch_size
-        # Drop ragged tail only if it would break mesh divisibility
-        for start in range(0, n - bs + 1 if n >= bs else 1, bs):
+        # Keep the ragged tail (reference DataLoader drop_last=False); under a
+        # mesh, shard_batch replicates non-divisible batches
+        for start in range(0, n, bs):
             sel = idx[start : start + bs]
             batch = {
                 "angles": data["angles"][sel],
