@@ -110,9 +110,10 @@ def read_pdb(fname: str, keep_hetero: bool = False) -> PDBStructure:
             except ValueError:
                 continue
             insertion = line[26].strip()
-            # First altloc wins
+            # First record of each (chain, residue, icode, atom name) wins --
+            # covers both altloc variants and pathological exact duplicates
             key = (chain_id, res_id, insertion, name)
-            if altloc and key in seen_altloc:
+            if key in seen_altloc:
                 continue
             seen_altloc[key] = altloc
             try:
