@@ -310,3 +310,31 @@ class TestTimeEmbed:
         out = np.asarray(m.apply(variables, jnp.arange(100, dtype=jnp.float32)))
         assert out.shape == (100, 64)
         assert len(np.unique(out.round(6), axis=0)) == 100
+
+
+class TestPositionalEncoding:
+    """Reference tests/test_model_subparts.py: determinism + broadcast."""
+
+    def test_determinism_and_shape(self):
+        from foldingdiff_tpu.models.time_embed import PositionalEncoding
+
+        m = PositionalEncoding(d_model=32)
+        v = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 8, 32)))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 32)).astype(np.float32))
+        o1 = np.asarray(m.apply(v, x))
+        o2 = np.asarray(m.apply(v, x))
+        np.testing.assert_array_equal(o1, o2)
+        assert o1.shape == (2, 8, 32)
+
+    def test_broadcast_same_encoding_across_batch(self):
+        from foldingdiff_tpu.models.time_embed import PositionalEncoding
+
+        m = PositionalEncoding(d_model=32)
+        v = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((3, 8, 32)))
+        x = jnp.zeros((3, 8, 32))
+        out = np.asarray(m.apply(v, x))
+        # zero input -> output IS the positional encoding, equal across batch
+        np.testing.assert_array_equal(out[0], out[1])
+        np.testing.assert_array_equal(out[0], out[2])
+        # distinct across positions
+        assert not np.allclose(out[0, 0], out[0, 1])
