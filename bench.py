@@ -81,9 +81,17 @@ def _run_bench():
     sampler = samp.build_sampler(
         model, variables["params"], variables["constants"], schedule, [True] * 6
     )
+    # Mirror sample()'s bucket-aware chunking to enumerate compiled shapes
     lengths = [l for l in range(50, 128) for _ in range(n_per_length)]
-    chunks = [lengths[i : i + batch_size] for i in range(0, len(lengths), batch_size)]
-    shapes = {(len(c), min(128, -(-max(c) // bucket) * bucket)) for c in chunks}
+    groups = {}
+    for l in lengths:
+        groups.setdefault(min(128, -(-l // bucket) * bucket), []).append(l)
+    shapes = set()
+    for bkt, g in groups.items():
+        if len(g) >= batch_size:
+            shapes.add((batch_size, bkt))
+        if len(g) % batch_size:
+            shapes.add((len(g) % batch_size, bkt))
     for chunk_size, bucket in sorted(shapes):
         warm = dict(kwargs)
         warm.pop("n")

@@ -319,9 +319,26 @@ def sample(
         )
 
     master_key = jax.random.PRNGKey(seed)
-    retval: List[np.ndarray] = []
-    chunks = [lengths[i : i + batch_size] for i in range(0, len(lengths), batch_size)]
-    for chunk_i, this_lengths in enumerate(chunks):
+
+    # Bucket-aware chunking: group lengths by their padded seq bucket before
+    # chunking so short-length chunks compile and run at the small bucket
+    # instead of being dragged to the next one by a single longer item
+    def bucket_of(length: int) -> int:
+        return min(pad, -(-length // bucket_multiple) * bucket_multiple) if trim_to_length else pad
+
+    groups: dict = {}
+    for i in range(len(lengths)):
+        groups.setdefault(bucket_of(lengths[i]), []).append(i)
+    # Chunk within each bucket group: at most one ragged tail per bucket, so
+    # the number of compiled shapes stays <= 2 per bucket
+    split_chunks: List[List[int]] = [
+        g[i : i + batch_size]
+        for _, g in sorted(groups.items())
+        for i in range(0, len(g), batch_size)
+    ]
+    results: dict = {}
+    for chunk_i, idx_chunk in enumerate(split_chunks):
+        this_lengths = [lengths[i] for i in idx_chunk]
         b = len(this_lengths)
         seq_len = max(this_lengths) if trim_to_length else pad
         # Bucket to multiples of bucket_multiple: coarse buckets mean few
@@ -344,10 +361,11 @@ def sample(
         if shard_fn is not None:
             noise, attn_mask = shard_fn(noise, attn_mask)
         sampled = np.asarray(jax.device_get(sampler(noise, attn_mask, loop_key)))
-        if return_history:
-            retval.extend(sampled[:, i, :l, :] for i, l in enumerate(this_lengths))
-        else:
-            retval.extend(sampled[i, :l, :] for i, l in enumerate(this_lengths))
+        for i, (orig_idx, l) in enumerate(zip(idx_chunk, this_lengths)):
+            results[orig_idx] = (
+                sampled[:, i, :l, :] if return_history else sampled[i, :l, :]
+            )
+    retval: List[np.ndarray] = [results[i] for i in range(len(lengths))]
 
     if mean_offset is not None:
         mean_offset = np.asarray(mean_offset)
