@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""
+Full end-to-end demonstration without external data: synthesize a dataset of
+segmental helix/sheet proteins, train the diffusion model, sample new
+backbones, and evaluate -- angle distributions (KS vs training), secondary
+structure content (P-SEA), and clash rates.
+
+Runs in ~5 minutes on a TPU chip (or scale down with --epochs/--nprot).
+
+Usage: python examples/run_synthetic_e2e.py -o /tmp/synth_e2e --epochs 300
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples.synthetic_proteins import make_synthetic_protein_dir  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser(usage=__doc__)
+    parser.add_argument("-o", "--outdir", type=str, default="/tmp/synth_e2e")
+    parser.add_argument("--nprot", type=int, default=200)
+    parser.add_argument("--epochs", type=int, default=300)
+    parser.add_argument("--timesteps", type=int, default=100)
+    parser.add_argument("--nsample", type=int, default=64)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import pandas as pd
+    from scipy import stats
+
+    from foldingdiff_tpu.data.datasets import AnglesOnlyDataset
+    from foldingdiff_tpu.diffusion import sampling as samp
+    from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from foldingdiff_tpu.geometry.featurize import EXHAUSTIVE_ANGLES, create_new_chain_nerf
+    from foldingdiff_tpu.metrics.clashes import count_clashes
+    from foldingdiff_tpu.metrics.ss import count_structures_in_pdb
+    from foldingdiff_tpu.models import io as model_io
+    from foldingdiff_tpu.training.orchestration import train
+
+    os.makedirs(args.outdir, exist_ok=True)
+    pdb_dir = os.path.join(args.outdir, "train_pdbs")
+    if not os.path.isdir(pdb_dir) or not os.listdir(pdb_dir):
+        logging.info(f"Synthesizing {args.nprot} training proteins")
+        make_synthetic_protein_dir(pdb_dir, n=args.nprot)
+
+    results_dir = os.path.join(args.outdir, "results")
+    train(
+        results_dir=results_dir,
+        dataset_key=pdb_dir,
+        angles_definitions="canonical-full-angles",
+        max_seq_len=96,
+        min_seq_len=0,
+        trim_strategy="leftalign",
+        timesteps=args.timesteps,
+        variance_schedule="cosine",
+        num_hidden_layers=4,
+        hidden_size=128,
+        intermediate_size=256,
+        num_heads=8,
+        position_embedding_type="relative_key",
+        batch_size=32,
+        lr=3e-4,
+        lr_scheduler=None,
+        max_epochs=args.epochs,
+        min_epochs=args.epochs,
+        dryrun=True,
+    )
+
+    # Sample
+    model, params, constants, train_args = model_io.from_dir(results_dir)
+    sched = DiffusionSchedule.create("cosine", args.timesteps)
+    mean_offset = np.load(os.path.join(results_dir, "training_mean_offset.npy"))
+    sampled = samp.sample(
+        model, params, constants, sched,
+        is_angular=[True] * 6, pad=96, n=None,
+        lengths=[64] * args.nsample, batch_size=args.nsample,
+        mean_offset=mean_offset, seed=7,
+    )
+
+    # Evaluate: KS of sampled angle distributions vs training distributions
+    ds = AnglesOnlyDataset(pdbs=pdb_dir, pad=96, min_length=0, zero_center=False,
+                           cache_dir=args.outdir, n_workers=1)
+    train_rows = []
+    for i in range(len(ds)):
+        item = ds.__getitem__(i, ignore_zero_center=True)
+        train_rows.append(item["angles"][: int(item["lengths"])])
+    train_angles = np.concatenate(train_rows)
+    gen_angles = np.concatenate(sampled)
+    ks = {}
+    for i, name in enumerate(EXHAUSTIVE_ANGLES):
+        stat, p = stats.ks_2samp(gen_angles[:, i], train_angles[:, i])
+        ks[name] = {"stat": float(stat), "p": float(p)}
+
+    # Structure-level metrics on generated backbones
+    gen_dir = os.path.join(args.outdir, "generated_pdbs")
+    os.makedirs(gen_dir, exist_ok=True)
+    ss_counts, clash_counts = [], []
+    for i, s in enumerate(sampled):
+        out = create_new_chain_nerf(
+            os.path.join(gen_dir, f"gen_{i}.pdb"),
+            pd.DataFrame(s, columns=EXHAUSTIVE_ANGLES),
+        )
+        if out:
+            ss_counts.append(count_structures_in_pdb(out))
+            clash_counts.append(count_clashes(out))
+
+    alpha = [a for a, _ in ss_counts]
+    beta = [b for _, b in ss_counts]
+    report = {
+        "ks_tests": ks,
+        "generated": len(ss_counts),
+        "mean_alpha_elements": float(np.mean(alpha)),
+        "mean_beta_elements": float(np.mean(beta)),
+        "frac_with_helix": float(np.mean([a > 0 for a in alpha])),
+        "mean_clashes": float(np.mean(clash_counts)),
+    }
+    with open(os.path.join(args.outdir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    logging.info(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

@@ -1,0 +1,72 @@
+"""
+Synthetic protein generator for end-to-end validation without the CATH
+download: chains composed of alpha-helix / beta-strand / loop segments with
+Ramachandran-plausible dihedrals, built into PDB files via NeRF.
+
+Used by examples/run_synthetic_e2e.py and tests/test_synthetic_e2e.py to
+demonstrate the full train -> sample -> evaluate loop producing structured
+(not just in-range) outputs.
+"""
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+D = np.pi / 180.0
+
+# Canonical dihedral regions (mean, std), radians
+HELIX_PHI, HELIX_PSI = (-57 * D, 5 * D), (-47 * D, 5 * D)
+SHEET_PHI, SHEET_PSI = (-120 * D, 10 * D), (125 * D, 10 * D)
+TAU = (111 * D, 2 * D)
+CA_C_N = (116 * D, 1.5 * D)
+C_N_CA = (121.5 * D, 1.5 * D)
+
+
+def synth_angles(rng: np.random.Generator, n_res: int) -> np.ndarray:
+    """(n_res, 6) [phi, psi, omega, tau, CA:C:1N, C:1N:1CA] with segmental SS."""
+    phi = np.empty(n_res)
+    psi = np.empty(n_res)
+    i = 0
+    while i < n_res:
+        kind = rng.choice(["helix", "sheet", "loop"], p=[0.45, 0.3, 0.25])
+        seg = int(rng.integers(6, 14) if kind != "loop" else rng.integers(2, 6))
+        seg = min(seg, n_res - i)
+        if kind == "helix":
+            phi[i : i + seg] = rng.normal(*HELIX_PHI, seg)
+            psi[i : i + seg] = rng.normal(*HELIX_PSI, seg)
+        elif kind == "sheet":
+            phi[i : i + seg] = rng.normal(*SHEET_PHI, seg)
+            psi[i : i + seg] = rng.normal(*SHEET_PSI, seg)
+        else:
+            phi[i : i + seg] = rng.uniform(-np.pi, 0, seg)
+            psi[i : i + seg] = rng.uniform(-np.pi, np.pi, seg)
+        i += seg
+    omega = rng.normal(np.pi, 2 * D, n_res)  # trans peptide bonds
+    omega = ((omega + np.pi) % (2 * np.pi)) - np.pi
+    tau = rng.normal(*TAU, n_res)
+    ca_c_n = rng.normal(*CA_C_N, n_res)
+    c_n_ca = rng.normal(*C_N_CA, n_res)
+    return np.stack([phi, psi, omega, tau, ca_c_n, c_n_ca], axis=1)
+
+
+def make_synthetic_protein_dir(
+    out_dir: str, n: int = 200, min_len: int = 48, max_len: int = 96, seed: int = 0
+) -> List[str]:
+    """Write n synthetic multi-segment protein backbones as PDBs."""
+    import pandas as pd
+
+    from foldingdiff_tpu.geometry.featurize import EXHAUSTIVE_ANGLES, create_new_chain_nerf
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        n_res = int(rng.integers(min_len, max_len + 1))
+        angles = synth_angles(rng, n_res)
+        df = pd.DataFrame(angles, columns=EXHAUSTIVE_ANGLES)
+        fname = os.path.join(out_dir, f"synthprot_{i:04d}.pdb")
+        if create_new_chain_nerf(fname, df):
+            out.append(fname)
+    return out
