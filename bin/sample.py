@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="PDB dir: overlay generated vs test-split angle distributions",
     )
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--profile", type=str, default="",
+                        help="write a JAX profiler trace (xplane) to this dir")
     return parser
 
 
@@ -128,22 +130,25 @@ def main():
     except NotImplementedError:
         mean_offset = None
 
-    sampled = samp.sample(
-        model, params, constants, schedule,
-        is_angular=empty.feature_is_angular["angles"],
-        pad=empty.pad,
-        n=args.num,
-        sweep_lengths=tuple(args.lengths),
-        batch_size=args.batchsize,
-        angular_variance=train_args.get("variance_scale", 1.0),
-        mean_offset=mean_offset,
-        seed=args.seed,
-        return_history=args.fullhistory,
-        method=args.method,
-        ddim_steps=args.ddim_steps,
-        ddim_eta=args.ddim_eta,
-        shard_fn=shard_fn,
-    )
+    from foldingdiff_tpu.utils_profiling import maybe_profile, phase_timer
+
+    with maybe_profile(args.profile), phase_timer("sampling"):
+        sampled = samp.sample(
+            model, params, constants, schedule,
+            is_angular=empty.feature_is_angular["angles"],
+            pad=empty.pad,
+            n=args.num,
+            sweep_lengths=tuple(args.lengths),
+            batch_size=args.batchsize,
+            angular_variance=train_args.get("variance_scale", 1.0),
+            mean_offset=mean_offset,
+            seed=args.seed,
+            return_history=args.fullhistory,
+            method=args.method,
+            ddim_steps=args.ddim_steps,
+            ddim_eta=args.ddim_eta,
+            shard_fn=shard_fn,
+        )
     final = [s[-1] if args.fullhistory else s for s in sampled]
     sampled_dfs = [pd.DataFrame(s, columns=ft_names) for s in final]
 
