@@ -17,6 +17,18 @@ import time
 
 
 def main():
+    # Persistent compilation cache: saves ~35% of the (remote) compile time
+    # across bench invocations
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     try:
         _run_bench()
     except Exception as e:  # noqa: BLE001 -- one retry at a smaller batch
