@@ -365,6 +365,43 @@ double run_alignment(const Coords& a, const Coords& b) {
     if (int(pairs.size()) >= 5) seeds.push_back(pairs);
   }
 
+  // Seed 3: local-fragment superposition (original TM-align's "local" init):
+  // superimpose on sliding fragment pairs, score globally with a gapless
+  // mapping through that transform, keep the best as a DP starting point
+  {
+    const int frag = std::max(8, std::min(la, lb) / 4);
+    double best_local = -1.0;
+    std::vector<std::pair<int, int>> best_pairs;
+    const int step_a = std::max(1, (la - frag) / 8);
+    const int step_b = std::max(1, (lb - frag) / 8);
+    for (int ia = 0; ia + frag <= la; ia += step_a) {
+      for (int jb = 0; jb + frag <= lb; jb += step_b) {
+        Coords ps, qs;
+        for (int k = 0; k < frag; ++k) {
+          ps.push_back(a[ia + k]);
+          qs.push_back(b[jb + k]);
+        }
+        Transform tr = kabsch(ps, qs);
+        // Gapless mapping induced by the offset jb-ia
+        const int off = jb - ia;
+        double tm = 0;
+        std::vector<std::pair<int, int>> pairs;
+        for (int i = 0; i < la; ++i) {
+          const int j = i + off;
+          if (j < 0 || j >= lb) continue;
+          pairs.push_back({i, j});
+          tm += 1.0 / (1.0 + dist2(tr.apply(a[i]), b[j]) / d0sq);
+        }
+        tm /= norm_len;
+        if (tm > best_local && int(pairs.size()) >= 5) {
+          best_local = tm;
+          best_pairs = pairs;
+        }
+      }
+    }
+    if (!best_pairs.empty()) seeds.push_back(best_pairs);
+  }
+
   // Iterate each seed: superimpose -> distance-based DP -> re-superimpose
   for (auto& seed : seeds) {
     std::vector<std::pair<int, int>> pairs = seed;

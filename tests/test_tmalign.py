@@ -81,3 +81,23 @@ class TestNativeTmalign:
         threading = tmscore.tm_score(pfl, zya)
         native = tn.tm_align_coords(pfl, zya)
         assert native >= threading - 0.02, (native, threading)
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("foldingdiff_tpu.eval.tmalign_native").available(),
+    reason="native TM-align not built",
+)
+def test_insertion_alignment_beats_threading():
+    """The DP alignment must recover identity through an insertion, where
+    gapless threading structurally cannot."""
+    from foldingdiff_tpu.eval import tmalign_native as tn
+    from foldingdiff_tpu.geometry.pdb import extract_backbone_coords
+
+    crn = extract_backbone_coords(CRN, atoms=("CA",))
+    pfl = extract_backbone_coords(PFL, atoms=("CA",))
+    insert = pfl[50:60] + (crn[19] - pfl[50]) + np.array([8.0, 0.0, 0.0])
+    chimera = np.concatenate([crn[:20], insert, crn[20:]])
+    dp = tn.tm_align_coords(chimera, crn)
+    threading = tmscore.tm_score(chimera, crn)
+    assert dp > 0.95, dp
+    assert dp > threading + 0.2, (dp, threading)
