@@ -203,8 +203,17 @@ def train(
     )
 
     schedule = DiffusionSchedule.create(variance_schedule, timesteps)
-    train_data = train_ds.to_arrays()
-    valid_data = valid_ds.to_arrays() if valid_ds is not None else None
+
+    def _as_train_arrays(ds):
+        arrays = ds.to_arrays()
+        # cart-coords items carry "coords" instead of "angles"; the trainer's
+        # feature key is uniform (is_angular flags handle the semantics)
+        if "angles" not in arrays and "coords" in arrays:
+            arrays["angles"] = arrays.pop("coords")
+        return arrays
+
+    train_data = _as_train_arrays(train_ds)
+    valid_data = _as_train_arrays(valid_ds) if valid_ds is not None else None
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
 
     tcfg = TrainConfig(
