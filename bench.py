@@ -91,7 +91,8 @@ def _run_bench():
     # build_sampler is its own jit cache). Warmup pre-compiles every
     # (chunk_size, seq_bucket) shape the timed sweep will hit.
     sampler = samp.build_sampler(
-        model, variables["params"], variables["constants"], schedule, [True] * 6
+        model, variables["params"], variables["constants"], schedule, [True] * 6,
+        gen_noise=True, n_ft=6,
     )
     # Mirror sample()'s bucket-aware chunking to enumerate compiled shapes
     lengths = [l for l in range(50, 128) for _ in range(n_per_length)]

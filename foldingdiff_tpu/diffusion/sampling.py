@@ -104,20 +104,28 @@ def build_sampler(
     method: str = "ddpm",
     ddim_steps: int = 50,
     ddim_eta: float = 0.0,
+    gen_noise: bool = False,
+    n_ft: Optional[int] = None,
+    angular_variance: float = 1.0,
+    nonangular_variance: float = 1.0,
 ):
     """
-    jit-compiled sampler closure: (noise, attn_mask, key) -> samples.
-    Weights are closed over as donated-style constants; one compilation per
+    jit-compiled sampler closure. Weights are closed over; one compilation per
     (batch, length) shape. method: "ddpm" (ancestral, reference-parity) or
     "ddim" (accelerated, ddim_steps model evals).
+
+    gen_noise=False: signature (noise, attn_mask, key) -- caller provides x_T
+    (used by partial-noise reconstruction).
+    gen_noise=True: signature (attn_mask, noise_key, loop_key) -- x_T is drawn
+    INSIDE jit, so a sample() chunk is exactly one device execution (host-side
+    eager noise ops cost seconds per call through a remote-dispatch tunnel).
     """
     variables = {"params": params, "constants": constants}
 
     def model_fn(x, t_vec, mask):
         return model.apply(variables, x, t_vec, mask, deterministic=True)
 
-    @jax.jit
-    def sampler(noise, attn_mask, key):
+    def run_loop(noise, attn_mask, key):
         if method == "ddim":
             return ddim_sample_loop(
                 model_fn, noise, key, attn_mask, schedule, is_angular,
@@ -127,6 +135,19 @@ def build_sampler(
             model_fn, noise, key, attn_mask, schedule, is_angular, return_history,
             start_t=start_t,
         )
+
+    if not gen_noise:
+        return jax.jit(run_loop)
+
+    assert n_ft is not None
+
+    @jax.jit
+    def sampler(attn_mask, noise_key, loop_key):
+        b, l = attn_mask.shape
+        noise = sample_wrapped_noise(
+            noise_key, (b, l, n_ft), is_angular, angular_variance, nonangular_variance
+        )
+        return run_loop(noise, attn_mask, loop_key)
 
     return sampler
 
@@ -316,6 +337,8 @@ def sample(
         sampler = build_sampler(
             model, params, constants, schedule, is_angular_arr, return_history,
             method=method, ddim_steps=ddim_steps, ddim_eta=ddim_eta,
+            gen_noise=True, n_ft=n_ft,
+            angular_variance=angular_variance, nonangular_variance=nonangular_variance,
         )
 
     master_key = jax.random.PRNGKey(seed)
@@ -351,16 +374,13 @@ def sample(
 
         key = jax.random.fold_in(master_key, chunk_i)
         noise_key, loop_key = jax.random.split(key)
-        noise = sample_wrapped_noise(
-            noise_key, (b, seq_len, n_ft), is_angular_arr, angular_variance, nonangular_variance
-        )
         attn_mask = (np.arange(seq_len)[None, :] < np.asarray(this_lengths)[:, None]).astype(
             np.float32
         )
         attn_mask = jnp.asarray(attn_mask)
         if shard_fn is not None:
-            noise, attn_mask = shard_fn(noise, attn_mask)
-        sampled = np.asarray(jax.device_get(sampler(noise, attn_mask, loop_key)))
+            attn_mask = shard_fn(attn_mask)
+        sampled = np.asarray(jax.device_get(sampler(attn_mask, noise_key, loop_key)))
         for i, (orig_idx, l) in enumerate(zip(idx_chunk, this_lengths)):
             results[orig_idx] = (
                 sampled[:, i, :l, :] if return_history else sampled[i, :l, :]
