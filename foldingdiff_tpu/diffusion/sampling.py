@@ -359,10 +359,12 @@ def sample(
         for _, g in sorted(groups.items())
         for i in range(0, len(g), batch_size)
     ]
-    results: dict = {}
+    # Dispatch ALL chunks asynchronously, then fetch: each synchronous
+    # dispatch+fetch cycle pays the device round-trip latency (seconds through
+    # a remote-dispatch tunnel); pipelining pays it once
+    pending = []
     for chunk_i, idx_chunk in enumerate(split_chunks):
         this_lengths = [lengths[i] for i in idx_chunk]
-        b = len(this_lengths)
         seq_len = max(this_lengths) if trim_to_length else pad
         # Bucket to multiples of bucket_multiple: coarse buckets mean few
         # compilations per sweep (compile >> padded-compute waste here)
@@ -380,7 +382,11 @@ def sample(
         attn_mask = jnp.asarray(attn_mask)
         if shard_fn is not None:
             attn_mask = shard_fn(attn_mask)
-        sampled = np.asarray(jax.device_get(sampler(attn_mask, noise_key, loop_key)))
+        pending.append((idx_chunk, this_lengths, sampler(attn_mask, noise_key, loop_key)))
+
+    results: dict = {}
+    for idx_chunk, this_lengths, device_out in pending:
+        sampled = np.asarray(jax.device_get(device_out))
         for i, (orig_idx, l) in enumerate(zip(idx_chunk, this_lengths)):
             results[orig_idx] = (
                 sampled[:, i, :l, :] if return_history else sampled[i, :l, :]
