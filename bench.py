@@ -112,6 +112,11 @@ def _run_bench():
         warm["lengths"] = [bucket - 1] * chunk_size
         samp.sample(model, variables["params"], variables["constants"], schedule,
                     shard_fn=shard_fn, sampler=sampler, **warm)
+    # One full unrecorded sweep: the first post-compile sweep intermittently
+    # pays a ~13s program-(re)load penalty through the remote runtime; the
+    # second is steady-state
+    samp.sample(model, variables["params"], variables["constants"], schedule,
+                shard_fn=shard_fn, sampler=sampler, **kwargs)
 
     t0 = time.perf_counter()
     out = samp.sample(model, variables["params"], variables["constants"], schedule,
