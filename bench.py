@@ -1,12 +1,19 @@
 """
 Benchmark: the manuscript sampling protocol -- 10 backbones per length in
-[50, 128) = 780 structures, T=1000 DDPM steps, batch 512 -- on the flagship
+[50, 128) = 780 structures, T=1000 DDPM steps -- on the flagship
 model config (12x384 BERT, relative_key), matching README.md:84-85 +
 bin/sample.py:255-268 of the reference.
 
 Baseline: the reference samples 512 structures in ~7 min on an RTX 2080Ti
 (README.md:100-102) = 1.219 backbones/sec. vs_baseline is our backbones/sec
 over that rate.
+
+Robustness: the host has ONE cpu core feeding a remote-dispatch TPU tunnel;
+concurrent host load has been measured to inflate wall clock 4-8x. The bench
+therefore (a) runs BENCH_REPS timed sweeps and reports the best, (b) probes
+per-step device time on a single chunk so a contended run is self-evident in
+the JSON (sweep wall-clock inconsistent with step_ms * n_steps => host-side
+interference, not device regression), and (c) records loadavg.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -16,8 +23,13 @@ import sys
 import time
 
 
+def _is_resource_error(e: BaseException) -> bool:
+    s = repr(e)
+    return any(k in s for k in ("RESOURCE_EXHAUSTED", "Out of memory", "OOM", "oom"))
+
+
 def main():
-    # Persistent compilation cache: saves ~35% of the (remote) compile time
+    # Persistent compilation cache: saves most of the (remote) compile time
     # across bench invocations
     try:
         import jax
@@ -31,13 +43,19 @@ def main():
         pass
     try:
         _run_bench()
-    except Exception as e:  # noqa: BLE001 -- one retry at a smaller batch
-        print(f"bench failed at default batch ({e!r}); retrying at batch 32", file=sys.stderr)
+    except Exception as e:
+        # Retry ONLY on memory pressure at a smaller batch; any other failure
+        # (shape bug, compile error) must fail the bench loudly, not be masked
+        # as a slow-but-green run.
+        if not _is_resource_error(e):
+            raise
+        print(f"bench OOM at default batch ({e!r}); retrying degraded at batch 32",
+              file=sys.stderr)
         os.environ["BENCH_BATCH"] = "32"
-        _run_bench()
+        _run_bench(degraded=True)
 
 
-def _run_bench():
+def _run_bench(degraded: bool = False):
     import jax
 
     from foldingdiff_tpu.diffusion import sampling as samp
@@ -52,6 +70,7 @@ def _run_bench():
     # 6 ms at B=64 vs 34.5 ms at B=256 (sublinear scaling below ~128), so
     # smaller batches win per-item despite more chunks.
     batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    n_reps = int(os.environ.get("BENCH_REPS", "3"))
 
     config = ModelConfig(
         hidden_size=384,
@@ -100,16 +119,18 @@ def _run_bench():
     for l in lengths:
         groups.setdefault(min(128, -(-l // bucket) * bucket), []).append(l)
     shapes = set()
+    n_chunks = 0
     for bkt, g in groups.items():
+        n_chunks += -(-len(g) // batch_size)
         if len(g) >= batch_size:
             shapes.add((batch_size, bkt))
         if len(g) % batch_size:
             shapes.add((len(g) % batch_size, bkt))
-    for chunk_size, bucket in sorted(shapes):
+    for chunk_size, bkt in sorted(shapes):
         warm = dict(kwargs)
         warm.pop("n")
         warm.pop("sweep_lengths")
-        warm["lengths"] = [bucket - 1] * chunk_size
+        warm["lengths"] = [bkt - 1] * chunk_size
         samp.sample(model, variables["params"], variables["constants"], schedule,
                     shard_fn=shard_fn, sampler=sampler, **warm)
     # One full unrecorded sweep: the first post-compile sweep intermittently
@@ -118,12 +139,36 @@ def _run_bench():
     samp.sample(model, variables["params"], variables["constants"], schedule,
                 shard_fn=shard_fn, sampler=sampler, **kwargs)
 
-    t0 = time.perf_counter()
-    out = samp.sample(model, variables["params"], variables["constants"], schedule,
-                      shard_fn=shard_fn, sampler=sampler, **kwargs)
-    elapsed = time.perf_counter() - t0
+    # Per-step device-time probe on one already-compiled chunk shape: one
+    # synchronous execution of the T-step scan, min over 3 tries. This is
+    # (nearly) pure device time -- if the sweep wall clock far exceeds
+    # step_ms * T * n_chunks, the run was host/tunnel-contended.
+    import numpy as np
 
-    n_structures = len(out)
+    probe_bkt = max(b for _, b in shapes)
+    n_probe_chunks = -(-len(groups.get(probe_bkt, [])) // batch_size)
+    probe_mask = np.ones((batch_size, probe_bkt), dtype=np.float32)
+    if shard_fn is not None:
+        probe_mask = shard_fn(probe_mask)
+    probe_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(sampler(probe_mask, np.uint32(1234), np.uint32(i)))
+        probe_times.append(time.perf_counter() - t0)
+    step_ms = min(probe_times) / timesteps * 1000.0
+
+    loadavg_start = os.getloadavg()
+    rep_times = []
+    n_structures = 0
+    for _ in range(max(1, n_reps)):
+        t0 = time.perf_counter()
+        out = samp.sample(model, variables["params"], variables["constants"], schedule,
+                          shard_fn=shard_fn, sampler=sampler, **kwargs)
+        rep_times.append(time.perf_counter() - t0)
+        n_structures = len(out)
+    loadavg_end = os.getloadavg()
+
+    elapsed = min(rep_times)
     rate = n_structures / elapsed
     baseline_rate = 512 / (7 * 60)  # RTX 2080Ti reference
     print(json.dumps({
@@ -135,6 +180,16 @@ def _run_bench():
         "timesteps": timesteps,
         "batch_size": batch_size,
         "wall_clock_sec": round(elapsed, 2),
+        "rep_wall_clock_sec": [round(t, 2) for t in rep_times],
+        "step_ms_probe": round(step_ms, 3),
+        # Device-time floor for just the probe-bucket chunks; the remaining
+        # (smaller-bucket) chunks add less. wall_clock >> this floor means
+        # the run was host/tunnel-contended, not a device regression.
+        "device_floor_sec": round(step_ms / 1000.0 * timesteps * n_probe_chunks, 1),
+        "n_chunks": n_chunks,
+        "loadavg_start": round(loadavg_start[0], 2),
+        "loadavg_end": round(loadavg_end[0], 2),
+        "degraded": degraded,
         "n_devices": len(devices),
         "platform": devices[0].platform,
     }))

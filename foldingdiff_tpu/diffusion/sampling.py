@@ -116,9 +116,11 @@ def build_sampler(
 
     gen_noise=False: signature (noise, attn_mask, key) -- caller provides x_T
     (used by partial-noise reconstruction).
-    gen_noise=True: signature (attn_mask, noise_key, loop_key) -- x_T is drawn
-    INSIDE jit, so a sample() chunk is exactly one device execution (host-side
-    eager noise ops cost seconds per call through a remote-dispatch tunnel).
+    gen_noise=True: signature (attn_mask, seed, chunk_i) with int32 scalars --
+    the PRNG keys AND x_T are derived INSIDE jit, so a sample() chunk is
+    exactly one device execution with zero eager host-side ops (each eager op
+    through a remote-dispatch tunnel costs a round-trip; per-chunk fold_in/
+    split/asarray used to dominate contended runs).
     """
     variables = {"params": params, "constants": constants}
 
@@ -142,7 +144,11 @@ def build_sampler(
     assert n_ft is not None
 
     @jax.jit
-    def sampler(attn_mask, noise_key, loop_key):
+    def sampler(attn_mask, seed, chunk_i):
+        # Same derivation sample() used to do eagerly: fold the chunk index
+        # into the master key, then split into (noise, loop) keys
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), chunk_i)
+        noise_key, loop_key = jax.random.split(key)
         b, l = attn_mask.shape
         noise = sample_wrapped_noise(
             noise_key, (b, l, n_ft), is_angular, angular_variance, nonangular_variance
@@ -341,8 +347,6 @@ def sample(
             angular_variance=angular_variance, nonangular_variance=nonangular_variance,
         )
 
-    master_key = jax.random.PRNGKey(seed)
-
     # Bucket-aware chunking: group lengths by their padded seq bucket before
     # chunking so short-length chunks compile and run at the small bucket
     # instead of being dragged to the next one by a single longer item
@@ -374,15 +378,18 @@ def sample(
             else pad
         )
 
-        key = jax.random.fold_in(master_key, chunk_i)
-        noise_key, loop_key = jax.random.split(key)
         attn_mask = (np.arange(seq_len)[None, :] < np.asarray(this_lengths)[:, None]).astype(
             np.float32
         )
-        attn_mask = jnp.asarray(attn_mask)
         if shard_fn is not None:
             attn_mask = shard_fn(attn_mask)
-        pending.append((idx_chunk, this_lengths, sampler(attn_mask, noise_key, loop_key)))
+        # PRNG key derivation happens inside the jitted sampler: the only
+        # per-chunk host work is building the numpy mask + one jit dispatch
+        pending.append((
+            idx_chunk,
+            this_lengths,
+            sampler(attn_mask, np.uint32(seed & 0xFFFFFFFF), np.uint32(chunk_i)),
+        ))
 
     results: dict = {}
     for idx_chunk, this_lengths, device_out in pending:
