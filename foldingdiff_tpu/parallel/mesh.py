@@ -44,17 +44,27 @@ def pad_to_multiple(n: int, k: int) -> int:
 
 def shard_batch(mesh: Mesh, *arrays, axis_name: str = "data"):
     """
-    Place arrays batch-sharded on the mesh. Falls back to replication when the
-    batch dim is not divisible by the mesh size (e.g. ragged tail chunks).
+    Place arrays batch-sharded on the mesh. Ragged batches (dim 0 not
+    divisible by the mesh size) are ZERO-padded to the next multiple so every
+    chunk keeps full data parallelism -- never replicated. Zero padding is
+    loss-exact for this framework's batch dicts: a padded row has
+    attn_mask == 0 and length == 0, so every masked loss (sum(err*mask)/
+    sum(mask), losses.py:_masked_mean/_pair_mask) and the sampler's
+    output-row mapping (which indexes only the first true-batch rows) are
+    bitwise unchanged. Callers that consume raw model outputs must slice the
+    first `true_batch` rows themselves.
     """
-    import logging
-
-    divisible = all(a.shape[0] % mesh.size == 0 for a in arrays)
-    if not divisible:
-        logging.debug(
-            f"Batch {arrays[0].shape[0]} not divisible by mesh size {mesh.size}; replicating"
+    n = arrays[0].shape[0]
+    assert all(a.shape[0] == n for a in arrays), "batch dims differ"
+    target = pad_to_multiple(n, mesh.size)
+    if target != n:
+        arrays = tuple(
+            np.concatenate(
+                [np.asarray(a), np.zeros((target - n,) + a.shape[1:], dtype=a.dtype)]
+            )
+            for a in arrays
         )
-    sharding = batch_sharding(mesh, axis_name) if divisible else replicated_sharding(mesh)
+    sharding = batch_sharding(mesh, axis_name)
     out = tuple(jax.device_put(a, sharding) for a in arrays)
     return out if len(out) > 1 else out[0]
 

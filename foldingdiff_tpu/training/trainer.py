@@ -178,6 +178,10 @@ class Trainer:
         self.ft_names = tuple(model.config.ft_names)
         self._train_step = jax.jit(self._step_impl, static_argnames=("train",), donate_argnums=(0,))
         self._eval_step = jax.jit(self._loss_impl)
+        # Jitted once per Trainer here (compilation itself is lazy): attaching
+        # these on first use via hasattr hid per-instance recompiles
+        self._train_step_pre = jax.jit(self._step_precorrupted_impl, donate_argnums=(0,))
+        self._eval_at_t = jax.jit(self._eval_at_t_impl)
 
     def init_state(self, key: jax.Array, pad: int) -> TrainState:
         variables = model_io.init_model_variables(self.model, key, pad=pad)
@@ -286,20 +290,18 @@ class Trainer:
             self.cfg.loss, self.cfg.circle_reg,
         )
 
+    def _step_precorrupted_impl(self, state: TrainState, batch, rng):
+        def loss_fn(params):
+            terms = self._loss_terms_precorrupted(
+                params, state.constants, batch, rng, deterministic=False
+            )
+            return jnp.mean(terms), terms
+
+        (avg, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), avg, terms
+
     def train_step_precorrupted(self, state: TrainState, batch, rng):
-        """One update from a host-noised batch (jitted on first use)."""
-        if not hasattr(self, "_train_step_pre"):
-            def step(state, batch, rng):
-                def loss_fn(params):
-                    terms = self._loss_terms_precorrupted(
-                        params, state.constants, batch, rng, deterministic=False
-                    )
-                    return jnp.mean(terms), terms
-
-                (avg, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-                return state.apply_gradients(grads), avg, terms
-
-            self._train_step_pre = jax.jit(step, donate_argnums=(0,))
+        """One update from a host-noised batch."""
         return self._train_step_pre(state, batch, rng)
 
     def eval_exhaustive_t(
@@ -311,26 +313,6 @@ class Trainer:
         ts = np.linspace(0, self.schedule.timesteps - 1, num=n_t).astype(np.int32)
         key = jax.random.PRNGKey(seed)
         all_terms = []
-        if not hasattr(self, "_eval_at_t"):
-            def eval_at_t(params, constants, batch, t_scalar, rng):
-                x0 = batch["angles"]
-                b = x0.shape[0]
-                t = jnp.full((b,), t_scalar, dtype=jnp.int32)
-                noise = sample_wrapped_noise(
-                    rng, x0.shape, self.is_angular,
-                    self.cfg.angular_variance, self.cfg.nonangular_variance,
-                )
-                corrupted = q_sample(x0, t, noise, self.schedule, self.is_angular)
-                pred = self.model.apply(
-                    {"params": params, "constants": constants},
-                    corrupted, t, batch["attn_mask"], deterministic=True,
-                )
-                return _per_feature_losses(
-                    pred, noise, batch["attn_mask"], self.is_angular,
-                    self.cfg.loss, self.cfg.circle_reg,
-                )
-
-            self._eval_at_t = jax.jit(eval_at_t)
         bs = self.cfg.batch_size
         n = data["angles"].shape[0]
         for t in ts:
@@ -342,6 +324,24 @@ class Trainer:
                     state.params, state.constants, batch, jnp.asarray(int(t)), sk
                 )))
         return np.mean(np.stack(all_terms), axis=0)
+
+    def _eval_at_t_impl(self, params, constants, batch, t_scalar, rng):
+        x0 = batch["angles"]
+        b = x0.shape[0]
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        noise = sample_wrapped_noise(
+            rng, x0.shape, self.is_angular,
+            self.cfg.angular_variance, self.cfg.nonangular_variance,
+        )
+        corrupted = q_sample(x0, t, noise, self.schedule, self.is_angular)
+        pred = self.model.apply(
+            {"params": params, "constants": constants},
+            corrupted, t, batch["attn_mask"], deterministic=True,
+        )
+        return _per_feature_losses(
+            pred, noise, batch["attn_mask"], self.is_angular,
+            self.cfg.loss, self.cfg.circle_reg,
+        )
 
     def _step_impl(self, state: TrainState, batch, rng, train: bool = True):
         def loss_fn(params):
@@ -364,7 +364,8 @@ class Trainer:
         idx = rng.permutation(n) if shuffle else np.arange(n)
         bs = self.cfg.batch_size
         # Keep the ragged tail (reference DataLoader drop_last=False); under a
-        # mesh, shard_batch replicates non-divisible batches
+        # mesh, shard_batch zero-pads non-divisible batches (loss-exact: the
+        # padded rows carry attn_mask=0 / length=0)
         for start in range(0, n, bs):
             sel = idx[start : start + bs]
             batch = {
@@ -443,12 +444,19 @@ class Trainer:
 
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
+            # Keep per-step losses as device arrays and fetch ONCE at epoch
+            # end: a float()/np.asarray() per step is a blocking host
+            # round-trip (seconds each through a remote-dispatch tunnel) that
+            # serializes the step pipeline.
             train_losses = []
             for batch in self._batches(train_data, host_rng, shuffle=True):
                 key, step_key = jax.random.split(key)
                 state, avg, terms = self._train_step(state, batch, step_key)
-                train_losses.append((float(avg), np.asarray(terms)))
-            train_loss = float(np.mean([l for l, _ in train_losses])) if train_losses else np.nan
+                train_losses.append((avg, terms))
+            train_losses = jax.device_get(train_losses)
+            train_loss = (
+                float(np.mean([l for l, _ in train_losses])) if train_losses else np.nan
+            )
             train_terms = (
                 np.mean(np.stack([t for _, t in train_losses]), axis=0)
                 if train_losses
@@ -458,18 +466,21 @@ class Trainer:
             val_loss, val_terms = np.nan, np.full(len(pseudo_names), np.nan)
             if valid_data is not None:
                 vlosses = []
+                first_val = None
                 for bi, batch in enumerate(self._batches(valid_data, host_rng, shuffle=False)):
                     key, step_key = jax.random.split(key)
-                    terms = self._eval_step(state.params, state.constants, batch, step_key)
-                    vlosses.append(np.asarray(terms))
+                    vlosses.append(self._eval_step(state.params, state.constants, batch, step_key))
                     if write_preds_to_dir and bi == 0:
-                        self._write_val_preds(
-                            write_preds_to_dir, state, batch, step_key, epoch,
-                            np.asarray(terms),
-                        )
+                        first_val = (batch, step_key)
+                vlosses = jax.device_get(vlosses)
                 if vlosses:
                     val_terms = np.mean(np.stack(vlosses), axis=0)
                     val_loss = float(np.mean(val_terms))
+                if first_val is not None:
+                    self._write_val_preds(
+                        write_preds_to_dir, state, first_val[0], first_val[1], epoch,
+                        vlosses[0],
+                    )
 
             row = {"epoch": epoch, "step": int(state.step), "train_loss": train_loss,
                    "val_loss": val_loss, "lr": float(self.lr_schedule(jnp.asarray(int(state.step)))),
@@ -485,17 +496,27 @@ class Trainer:
 
             if results_dir is not None and model_config is not None:
                 self._write_metrics_csv(results_dir, metrics_rows)
-                params_host = jax.device_get(state.params)
-                constants_host = jax.device_get(state.constants)
-                self._save_topk(
-                    results_dir, model_config, params_host, constants_host,
-                    train_args or {}, mean_offset, epoch,
-                    val_loss if valid_data is not None else train_loss, "valid", best_valid,
-                )
-                self._save_topk(
-                    results_dir, model_config, params_host, constants_host,
-                    train_args or {}, mean_offset, epoch, train_loss, "train", best_train,
-                )
+                # Fetch params to host ONLY when a metric actually enters a
+                # top-k set: the full-params device_get is a seconds-scale
+                # round-trip on a remote-dispatch TPU, wasted on non-improving
+                # epochs (most of them).
+                valid_metric = val_loss if valid_data is not None else train_loss
+                admit_valid = self._topk_admits(best_valid, valid_metric)
+                admit_train = self._topk_admits(best_train, train_loss)
+                if admit_valid or admit_train:
+                    params_host = jax.device_get(state.params)
+                    constants_host = jax.device_get(state.constants)
+                    if admit_valid:
+                        self._save_topk(
+                            results_dir, model_config, params_host, constants_host,
+                            train_args or {}, mean_offset, epoch,
+                            valid_metric, "valid", best_valid,
+                        )
+                    if admit_train:
+                        self._save_topk(
+                            results_dir, model_config, params_host, constants_host,
+                            train_args or {}, mean_offset, epoch, train_loss, "train", best_train,
+                        )
 
             if cfg.use_swa and epoch >= swa_start:
                 p = jax.device_get(state.params)
@@ -539,14 +560,19 @@ class Trainer:
             )
         return state, metrics_rows
 
+    @staticmethod
+    def _topk_admits(heap: List[Tuple[float, int, str]], metric: float, k: int = 5) -> bool:
+        """Whether `metric` would enter the top-k set (strictly better than
+        the current worst, or the set is not yet full)."""
+        if np.isnan(metric):
+            return False
+        return len(heap) < k or metric < max(h[0] for h in heap)
+
     def _save_topk(
         self, results_dir, model_config, params, constants, train_args, mean_offset,
         epoch, metric, best_by, heap: List[Tuple[float, int, str]], k: int = 5,
     ):
-        if np.isnan(metric):
-            return
-        subdir = os.path.join(results_dir, "models", f"best_by_{best_by}")
-        if len(heap) >= k and metric >= max(h[0] for h in heap):
+        if not self._topk_admits(heap, metric, k):
             return
         path = model_io.save_model_dir(
             results_dir, model_config, params, constants, train_args,
