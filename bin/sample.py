@@ -99,6 +99,9 @@ def main():
         d.startswith(".") for d in os.listdir(outdir)
     ) or True  # allow non-empty, we overwrite
 
+    # Resolve hub model ids (e.g. wukevin/foldingdiff) to a local snapshot
+    # (reference bin/sample.py:302-307)
+    args.model = model_io.resolve_model_dir(args.model)
     model, params, constants, train_args = model_io.from_dir(args.model)
     schedule = DiffusionSchedule.create(
         train_args["variance_schedule"], train_args["timesteps"]

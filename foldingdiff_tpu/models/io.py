@@ -169,6 +169,35 @@ def _epoch_from_fname(fname: str) -> int:
     return int(m[-1]) if m else -1
 
 
+def resolve_model_dir(name_or_dir: str) -> str:
+    """
+    Resolve a model reference to a local directory: an existing path is
+    returned as-is; a Hugging Face hub model id (e.g. "wukevin/foldingdiff")
+    is snapshot-downloaded and its local cache path returned (reference
+    bin/sample.py:302-307 + utils.is_huggingface_hub_id). Offline hosts fall
+    through to the local-path error.
+    """
+    from foldingdiff_tpu.utils import is_huggingface_hub_id
+
+    if os.path.isdir(name_or_dir):
+        return name_or_dir
+    if is_huggingface_hub_id(name_or_dir):
+        from huggingface_hub import snapshot_download
+
+        local = snapshot_download(name_or_dir)
+        # The reference hub layout nests the artifact dir under models/
+        nested = os.path.join(local, "models")
+        if not os.path.isfile(os.path.join(local, "training_args.json")) and os.path.isdir(nested):
+            for sub in sorted(os.listdir(nested)):
+                cand = os.path.join(nested, sub)
+                if os.path.isfile(os.path.join(cand, "training_args.json")):
+                    return cand
+        return local
+    raise FileNotFoundError(
+        f"{name_or_dir} is neither a local model directory nor a reachable hub id"
+    )
+
+
 def from_dir(
     dirname: str,
     idx: int = -1,
@@ -176,11 +205,13 @@ def from_dir(
     load_weights: bool = True,
 ) -> Tuple[BertForDiffusion, Dict, Dict, Dict]:
     """
-    Load a model directory (reference layout or native). Returns
-    (model, params, constants, train_args). Checkpoints are globbed from
-    models/best_by_{valid,train}/ and sorted by epoch; idx selects which
-    (default latest), matching reference modelling.from_dir (297-382).
+    Load a model directory (reference layout or native) or Hugging Face hub
+    model id. Returns (model, params, constants, train_args). Checkpoints are
+    globbed from models/best_by_{valid,train}/ and sorted by epoch; idx
+    selects which (default latest), matching reference modelling.from_dir
+    (297-382) + the hub path of bin/sample.py:302-307.
     """
+    dirname = resolve_model_dir(dirname)
     with open(os.path.join(dirname, "training_args.json")) as f:
         train_args = json.load(f)
     cfg_json = os.path.join(dirname, "config.json")

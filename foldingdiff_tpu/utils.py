@@ -114,3 +114,27 @@ def md5_all_py_files(dirname: str) -> str:
             for chunk in iter(lambda: f.read(2**20), b""):
                 hash_md5.update(chunk)
     return hash_md5.hexdigest()
+
+
+def is_huggingface_hub_id(s: str, timeout: float = 5.0) -> bool:
+    """
+    Whether `s` names a model on the Hugging Face hub (reference
+    utils.is_huggingface_hub_id, utils.py:15-24: a live HTTP probe of
+    https://huggingface.co/<s>). Returns False for existing local paths,
+    structurally un-hub-like strings, and on ANY network failure -- offline
+    hosts degrade to local-only loading instead of crashing.
+    """
+    if os.path.exists(s):
+        return False
+    parts = s.split("/")
+    if len(parts) != 2 or not all(p and not p.startswith(".") for p in parts):
+        return False
+    try:
+        import urllib.request
+
+        req = urllib.request.Request(f"https://huggingface.co/{s}", method="HEAD")
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status == 200
+    except Exception:
+        logging.warning(f"Hub probe for {s} failed (offline?); treating as local path")
+        return False

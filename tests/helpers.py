@@ -31,3 +31,88 @@ def make_synthetic_pdb_dir(out_dir: str, n: int = 24, seed: int = 0, min_len: in
         assert written, f"Failed to build {out}"
         fnames.append(out)
     return fnames
+
+
+def build_torch_reference(config, seed: int = 0):
+    """
+    Independently assemble the reference architecture in torch from its
+    documented semantics (modelling.py:211-484): input proj -> BertEmbeddings
+    (LN+dropout, no abs pos for relative_key) -> +time embedding -> HF
+    BertEncoder -> MLP head. Returns an eval-mode nn.Module whose state_dict
+    uses the reference's parameter names. Shared by the torch-parity tests
+    and scripts/make_torch_trained_fixture.py.
+    """
+    import torch
+    from torch import nn as tnn
+    from transformers import BertConfig
+    from transformers.models.bert.modeling_bert import BertEncoder
+
+    torch.manual_seed(seed)
+    hf_cfg = BertConfig(
+        max_position_embeddings=config.max_position_embeddings,
+        num_attention_heads=config.num_attention_heads,
+        hidden_size=config.hidden_size,
+        intermediate_size=config.intermediate_size,
+        num_hidden_layers=config.num_hidden_layers,
+        position_embedding_type=config.position_embedding_type,
+        hidden_dropout_prob=config.hidden_dropout_prob,
+        attention_probs_dropout_prob=config.attention_probs_dropout_prob,
+        use_cache=False,
+        attn_implementation="eager",
+    )
+
+    class Embeddings(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            if config.position_embedding_type == "absolute":
+                self.position_embeddings = tnn.Embedding(
+                    config.max_position_embeddings, config.hidden_size
+                )
+            self.LayerNorm = tnn.LayerNorm(config.hidden_size, eps=1e-12)
+            self.dropout = tnn.Dropout(config.hidden_dropout_prob)
+
+        def forward(self, x, position_ids):
+            if config.position_embedding_type == "absolute":
+                x = x + self.position_embeddings(position_ids)
+            return self.dropout(self.LayerNorm(x))
+
+    class TimeEmbed(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            w = torch.randn(config.hidden_size // 2) * (2 * torch.pi)
+            self.register_buffer("W", w)
+
+        def forward(self, t):
+            proj = t.float()[:, None] * self.W[None, :] * 2 * torch.pi
+            return torch.cat([torch.sin(proj), torch.cos(proj)], dim=-1)
+
+    class Head(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dense1 = tnn.Linear(config.hidden_size, config.hidden_size)
+            self.layer_norm = tnn.LayerNorm(config.hidden_size, eps=1e-12)
+            self.dense2 = tnn.Linear(config.hidden_size, config.n_inputs)
+
+        def forward(self, x):
+            return self.dense2(self.layer_norm(tnn.functional.gelu(self.dense1(x))))
+
+    class RefModel(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inputs_to_hidden_dim = tnn.Linear(config.n_inputs, config.hidden_size)
+            self.embeddings = Embeddings()
+            self.encoder = BertEncoder(hf_cfg)
+            self.token_decoder = Head()
+            self.time_embed = TimeEmbed()
+
+        def forward(self, inputs, timestep, attention_mask):
+            b, l, _ = inputs.shape
+            position_ids = torch.arange(l).expand(b, -1)
+            ext_mask = (1.0 - attention_mask[:, None, None, :]) * -10000.0
+            h = self.inputs_to_hidden_dim(inputs)
+            h = self.embeddings(h, position_ids)
+            h = h + self.time_embed(timestep).unsqueeze(1)
+            out = self.encoder(h, attention_mask=ext_mask, return_dict=True)
+            return self.token_decoder(out.last_hidden_state)
+
+    return RefModel().eval()
