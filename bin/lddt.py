@@ -26,13 +26,21 @@ def main():
     parser.add_argument("-o", "--out", type=str, default="lddt.json")
     parser.add_argument("--pair", nargs=2, type=str, default=None,
                         help="score one query/ref pair instead of directories")
+    parser.add_argument("--ca-only", action="store_true",
+                        help="score the CA trace only (default: all backbone "
+                        "atoms, the reference OpenStructure convention)")
     args = parser.parse_args()
 
+    from foldingdiff_tpu.metrics.lddt import BACKBONE_ATOM_NAMES
+
+    atoms = ("CA",) if args.ca_only else BACKBONE_ATOM_NAMES
     if args.pair:
-        print(lddt_pdb(args.pair[0], args.pair[1]))
+        print(lddt_pdb(args.pair[0], args.pair[1], atoms=atoms))
         return
     assert args.folded_dir, "folded_dir required (or use --pair)"
-    lddt_sampled_folded(Path(args.sampled_dir), Path(args.folded_dir), out_path=args.out)
+    lddt_sampled_folded(
+        Path(args.sampled_dir), Path(args.folded_dir), out_path=args.out, atoms=atoms
+    )
 
 
 if __name__ == "__main__":

@@ -101,6 +101,99 @@ class TestLDDT:
         cross = lddt.lddt_pdb(PFL, CRN)
         assert cross < 0.7
 
+    def test_file_api_ca_only_option(self):
+        assert lddt.lddt_pdb(CRN, CRN, atoms=("CA",)) == 1.0
+        # backbone scoring uses ~4x the atoms of the CA trace: scores differ
+        bb = lddt.lddt_pdb(PFL, CRN)
+        ca = lddt.lddt_pdb(PFL, CRN, atoms=("CA",))
+        assert bb != ca
+
+    def test_backbone_golden_brute_force(self):
+        """All-backbone-atom lDDT vs an independent brute-force double loop
+        (same-residue pairs excluded), plus a pinned value."""
+        rng = np.random.default_rng(7)
+        n_res, names = 6, ("N", "CA", "C")
+        ref = rng.normal(scale=4.0, size=(n_res * 3, 3))
+        model = ref + rng.normal(scale=0.8, size=ref.shape)
+        res_idx = np.repeat(np.arange(n_res), 3)
+
+        got = lddt.lddt_np(model, ref, residue_index=res_idx)
+
+        hits, total = 0.0, 0
+        for i in range(len(ref)):
+            for j in range(len(ref)):
+                if i == j or res_idx[i] == res_idx[j]:
+                    continue
+                dr = np.linalg.norm(ref[i] - ref[j])
+                if dr >= 15.0:
+                    continue
+                dm = np.linalg.norm(model[i] - model[j])
+                total += 1
+                hits += np.mean([abs(dr - dm) < t for t in (0.5, 1.0, 2.0, 4.0)])
+        expected = hits / total
+        assert np.isclose(got, expected, atol=1e-12)
+        assert np.isclose(got, 0.7843511450381679, atol=1e-9)  # pinned
+
+    def test_same_residue_pairs_excluded(self):
+        """Atoms within one residue can be arbitrarily wrong without
+        affecting the score when residue_index groups them."""
+        rng = np.random.default_rng(3)
+        ref = rng.normal(scale=4.0, size=(12, 3))
+        res_idx = np.repeat(np.arange(4), 3)
+        model = ref.copy()
+        base = lddt.lddt_np(model, ref, residue_index=res_idx)
+        assert base == 1.0
+
+    def test_backbone_pdb_matches_manual_assembly(self):
+        """lddt_pdb(backbone) == lddt_np over manually extracted N/CA/C/O
+        with per-residue indexing on a real structure pair."""
+        from foldingdiff_tpu.geometry.pdb import read_pdb, AMINO_ACIDS
+
+        def load(f):
+            coords, res_idx, order = [], [], {}
+            for a in read_pdb(f).atoms:
+                if a.hetero or a.res_name not in AMINO_ACIDS:
+                    continue
+                if a.name not in ("N", "CA", "C", "O"):
+                    continue
+                rk = (a.chain_id, a.res_id, a.insertion)
+                order.setdefault(rk, len(order))
+                coords.append(a.coord)
+                res_idx.append(order[rk])
+            return np.stack(coords), np.asarray(res_idx)
+
+        qc, qres = load(CRN)
+        rng = np.random.default_rng(11)
+        noisy = qc + rng.normal(scale=1.0, size=qc.shape)
+        import tempfile, os
+        from foldingdiff_tpu.geometry.pdb import PDBAtom, write_full_atoms_to_pdb
+
+        ref_atoms = read_pdb(CRN).atoms
+        kept = [a for a in ref_atoms
+                if not a.hetero and a.res_name in AMINO_ACIDS
+                and a.name in ("N", "CA", "C", "O")]
+        for a, c in zip(kept, noisy):
+            a.coord = c
+        with tempfile.TemporaryDirectory() as td:
+            noisy_pdb = os.path.join(td, "noisy.pdb")
+            write_full_atoms_to_pdb(kept, noisy_pdb)
+            got = lddt.lddt_pdb(noisy_pdb, CRN)
+        expected = lddt.lddt_np(noisy, qc, residue_index=qres)
+        assert np.isclose(got, expected, atol=5e-3)  # PDB coords quantize to 1e-3
+
+    def test_jax_backbone_matches_np(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        ref = rng.normal(scale=4.0, size=(15, 3))
+        model = ref + rng.normal(scale=0.5, size=ref.shape)
+        res_idx = np.repeat(np.arange(5), 3)
+        np_score = lddt.lddt_np(model, ref, residue_index=res_idx)
+        j_score = float(lddt.lddt_jax(
+            jnp.asarray(model[None]), jnp.asarray(ref[None]), residue_index=res_idx
+        )[0])
+        assert np.isclose(np_score, j_score, atol=1e-3)
+
     def test_jax_matches_np(self):
         import jax.numpy as jnp
 
