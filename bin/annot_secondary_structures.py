@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--json", type=str, default="", help="also write counts json")
     parser.add_argument("--maxlen", type=int, default=0, help="filter to length <= maxlen")
     parser.add_argument("--title", type=str, default="Secondary structure co-occurrence")
+    parser.add_argument("--backend", choices=("psea", "dssp"), default="psea",
+                        help="SS annotation backend: native P-SEA (default) or "
+                        "the external DSSP binary (reference "
+                        "bin/annot_secondary_structures.py:89-99)")
     args = parser.parse_args()
 
     pdb_files = args.pdb_files
@@ -34,7 +38,7 @@ def main():
         pdb_files = [p for p in pdb_files if get_pdb_length(p) <= args.maxlen]
         logging.info(f"Length filter {args.maxlen}: {orig} -> {len(pdb_files)}")
 
-    counts = count_structures_parallel(pdb_files)
+    counts = count_structures_parallel(pdb_files, backend=args.backend)
     counts = [c for c in counts if c != (-1, -1)]
     alpha, beta = zip(*counts)
     plot_ss_cooccurrence(alpha, beta, args.outpdf, json_file=args.json, title=args.title)

@@ -42,6 +42,22 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def maybe_init_distributed(multihost: bool) -> bool:
+    """
+    --multihost plumbing: initialize jax.distributed so a TPU pod slice's
+    hosts join one mesh (launched per-host by scripts/tpu_pod_launch.sh).
+    NOTE: no pod exists in the CI/dev environment -- this path is exercised
+    only by unit tests with a stubbed backend (tests/test_cli_smoke.py);
+    real multi-host initialization is untested here.
+    """
+    if not multihost:
+        return False
+    import jax
+
+    jax.distributed.initialize()
+    return True
+
+
 def main():
     args = build_parser().parse_args()
     if args.cpu:
@@ -49,10 +65,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    if args.multihost:
-        import jax
-
-        jax.distributed.initialize()
+    maybe_init_distributed(args.multihost)
 
     from foldingdiff_tpu.training.orchestration import train
 

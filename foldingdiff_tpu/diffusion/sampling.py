@@ -207,10 +207,17 @@ def ddim_sample_loop(
     return hist if return_history else x_final
 
 
-def sample_simple(model_dir: str, n: int = 10, sweep_lengths: Tuple[int, int] = (50, 128)):
+def sample_simple(
+    model_dir: str,
+    n: int = 10,
+    sweep_lengths: Tuple[int, int] = (50, 128),
+    seed: int = 0x1234,
+):
     """
-    Load a model directory and sample, returning per-structure DataFrames
-    (reference sampling.sample_simple, sampling.py:227-264).
+    Load a model directory or HF-hub id and sample, returning per-structure
+    DataFrames (reference sampling.sample_simple, sampling.py:227-264; seeded
+    like bin/sample.py:34-37 so same-seed runs are bit-reproducible --
+    reference tests/test_sampling.py).
     """
     import pandas as pd
 
@@ -234,6 +241,7 @@ def sample_simple(model_dir: str, n: int = 10, sweep_lengths: Tuple[int, int] = 
         sweep_lengths=sweep_lengths,
         angular_variance=train_args.get("variance_scale", 1.0),
         mean_offset=mean_offset,
+        seed=seed,
     )
     cols = list(empty.feature_names["angles"])
     return [pd.DataFrame(s, columns=cols) for s in sampled]

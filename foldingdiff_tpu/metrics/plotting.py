@@ -113,6 +113,52 @@ def plot_val_dists_at_t(
     )
 
 
+def plot_timestep_distributions(
+    noised_dset,
+    timesteps: int,
+    plots_folder: str,
+    n_intervals: int = 11,
+    max_items: int = 256,
+    shift_angles_zero_twopi: bool = False,
+) -> list:
+    """
+    Pre-training diagnostic: per-feature histograms of the CORRUPTED values at
+    n_intervals timesteps spanning [0, T-1] -- shows the forward process
+    converging to the wrapped noise prior (reference bin/train.py:52-80,
+    one train_dists_at_t_*.pdf per timestep).
+    """
+    import os
+
+    feature_names = list(noised_dset.feature_names["angles"])
+    select_ts = np.unique(np.linspace(0, timesteps - 1, n_intervals).astype(int))
+    n = min(len(noised_dset), max_items)
+    outs = []
+    for t in select_ts:
+        vals = []
+        for i in range(n):
+            item = noised_dset.__getitem__(i, use_t_val=int(t))
+            mask = np.asarray(item["attn_mask"]).astype(bool)
+            vals.append(np.asarray(item["corrupted"])[mask])
+        vals = np.concatenate(vals)
+        if shift_angles_zero_twopi:
+            vals = np.where(vals < 0, vals + 2 * np.pi, vals)
+        fig, axes = plt.subplots(
+            dpi=150, figsize=(len(feature_names) * 2.6, 2.5),
+            ncols=len(feature_names), sharey=True,
+        )
+        if len(feature_names) == 1:
+            axes = [axes]
+        for i, (name, ax) in enumerate(zip(feature_names, axes)):
+            ax.hist(vals[:, i], bins=60, density=True, alpha=0.8)
+            ax.set(title=name)
+        fig.suptitle(f"Corrupted training distributions at t={t}", y=1.05)
+        out = os.path.join(str(plots_folder), f"train_dists_at_t_{t}.pdf")
+        fig.savefig(out, bbox_inches="tight")
+        plt.close(fig)
+        outs.append(out)
+    return outs
+
+
 def plot_ss_cooccurrence(
     alpha_counts: Sequence[int],
     beta_counts: Sequence[int],

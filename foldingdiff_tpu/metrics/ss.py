@@ -101,13 +101,54 @@ def annotate_pdb_sse(fname: str) -> np.ndarray:
     return annotate_sse_ca(np.asarray(ca))
 
 
+def dssp_available() -> bool:
+    import shutil
+
+    return any(shutil.which(b) for b in ("mkdssp", "dssp"))
+
+
+def annotate_pdb_sse_dssp(fname: str) -> np.ndarray:
+    """
+    SS annotation via the external DSSP binary (the reference's optional
+    backend, bin/annot_secondary_structures.py:89-99): H/G/I -> 'a',
+    E/B -> 'b', else 'c'. Raises RuntimeError when no DSSP is installed --
+    P-SEA is the always-available default.
+    """
+    import shutil
+    import subprocess
+
+    binary = next((b for b in ("mkdssp", "dssp") if shutil.which(b)), None)
+    if binary is None:
+        raise RuntimeError(
+            "DSSP backend requested but no mkdssp/dssp binary on PATH; "
+            "use the native P-SEA backend instead"
+        )
+    proc = subprocess.run(
+        [binary, str(fname)], capture_output=True, text=True, check=True
+    )
+    labels = []
+    in_table = False
+    for line in proc.stdout.splitlines():
+        if line.startswith("  #  RESIDUE"):
+            in_table = True
+            continue
+        if not in_table or len(line) < 17:
+            continue
+        if line[13] == "!":  # chain break record
+            continue
+        code = line[16]
+        labels.append("a" if code in "HGI" else ("b" if code in "EB" else "c"))
+    return np.asarray(labels, dtype="<U1")
+
+
 def count_structures_in_pdb(fname: str, backend: str = "psea") -> Tuple[int, int]:
     """(# alpha elements, # beta elements) -- reference
-    bin/annot_secondary_structures.py:64-105. (-1, -1) on failure."""
-    assert backend == "psea", "Only the native P-SEA backend is available"
+    bin/annot_secondary_structures.py:64-105. (-1, -1) on failure.
+    backend: "psea" (native, default) or "dssp" (external binary)."""
+    assert backend in ("psea", "dssp"), f"Unknown SS backend {backend}"
     if not os.path.exists(fname):
         return (-1, -1)
-    ss = annotate_pdb_sse(fname)
+    ss = annotate_pdb_sse(fname) if backend == "psea" else annotate_pdb_sse_dssp(fname)
     if ss.size == 0:
         return (-1, -1)
     grouped = [k for k, _ in groupby(ss)]
@@ -115,11 +156,13 @@ def count_structures_in_pdb(fname: str, backend: str = "psea") -> Tuple[int, int
 
 
 def count_structures_parallel(
-    fnames: Collection[str], threads: int = os.cpu_count() or 1
+    fnames: Collection[str], threads: int = os.cpu_count() or 1, backend: str = "psea"
 ) -> List[Tuple[int, int]]:
+    import functools
     import multiprocessing as mp
 
+    fn = functools.partial(count_structures_in_pdb, backend=backend)
     if threads > 1 and len(fnames) > 8:
         with mp.Pool(threads) as pool:
-            return list(pool.map(count_structures_in_pdb, fnames, chunksize=10))
-    return [count_structures_in_pdb(f) for f in fnames]
+            return list(pool.map(fn, fnames, chunksize=10))
+    return [fn(f) for f in fnames]

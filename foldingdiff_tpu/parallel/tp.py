@@ -88,18 +88,79 @@ def shard_params(params, mesh: Mesh):
     return jax.tree.map(place, params, shardings)
 
 
+class TPRunner:
+    """
+    Reusable tensor-parallel forward runner: params are placed with TP
+    shardings ONCE at construction and the jitted apply is cached on the
+    instance -- per-call re-sharding paid a full params transfer every
+    invocation.
+    """
+
+    def __init__(self, model, params, constants, mesh: Mesh):
+        self.model = model
+        self.mesh = mesh
+        self.params = shard_params(params, mesh)
+        self.constants = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), constants
+        )
+        self._data_sharding = NamedSharding(mesh, P("data"))
+        self._jit_cache = {}
+
+    def __call__(self, batch_args, batch_kwargs=None):
+        batch_kwargs = batch_kwargs or {}
+        batch_args = tuple(jax.device_put(a, self._data_sharding) for a in batch_args)
+        # kwargs like deterministic=True are config, closed over per distinct
+        # kwargs set (one jit cache entry each)
+        key = tuple(sorted(batch_kwargs.items()))
+        if key not in self._jit_cache:
+            model = self.model
+
+            @jax.jit
+            def fwd(p, c, *args):
+                return model.apply({"params": p, "constants": c}, *args, **dict(key))
+
+            self._jit_cache[key] = fwd
+        return self._jit_cache[key](self.params, self.constants, *batch_args)
+
+
 def tp_forward_sharded(model, params, constants, mesh: Mesh, batch_args, batch_kwargs=None):
-    """Run model.apply with TP-sharded params and data-sharded batch."""
-    batch_kwargs = batch_kwargs or {}
+    """One-shot TP forward (shards params per call; for repeated calls build
+    a TPRunner once instead)."""
+    return TPRunner(model, params, constants, mesh)(batch_args, batch_kwargs)
+
+
+def train_state_shardings(state, mesh: Mesh):
+    """
+    NamedSharding pytree for a full TrainState over the 2-D mesh: model
+    params AND the optimizer moments (whose leaf paths embed the param paths,
+    so the same pattern rules apply) get TP shardings; scalars/constants
+    replicate. distance_embedding stays replicated by design -- its head-dim
+    axis is used whole per attention head and the table is tiny.
+    """
+
+    def path_str(kp):
+        return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in kp)
+
+    def to_sharding(kp, leaf):
+        return NamedSharding(mesh, _spec_for(path_str(kp)))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, state)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState (params + optimizer moments) with TP shardings."""
+    shardings = train_state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def tp_train_step(trainer, state, batch, rng, mesh: Mesh):
+    """
+    One tensor-parallel training step: batch sharded on the data axis, state
+    pre-placed by shard_train_state. Reuses the trainer's jitted step; XLA
+    GSPMD propagates the Megatron shardings through forward, backward, and
+    the adamw update, inserting the collectives. Output state keeps the TP
+    placement (donated input), so steps chain without re-sharding.
+    """
     data_sharding = NamedSharding(mesh, P("data"))
-    batch_args = tuple(jax.device_put(a, data_sharding) for a in batch_args)
-    sharded_params = shard_params(params, mesh)
-    constants_r = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), constants
-    )
-
-    @jax.jit
-    def fwd(p, c, *args):
-        return model.apply({"params": p, "constants": c}, *args, **batch_kwargs)
-
-    return fwd(sharded_params, constants_r, *batch_args)
+    batch = {k: jax.device_put(v, data_sharding) for k, v in batch.items()}
+    return trainer._train_step(state, batch, rng)

@@ -253,6 +253,11 @@ def train(
                 kl_vals, list(train_ds.feature_names[ft_key]),
                 str(plots_folder / "kl_divergence_timesteps.pdf"),
             )
+            # Per-timestep corrupted-value distributions (reference
+            # bin/train.py:52-80)
+            from foldingdiff_tpu.metrics.plotting import plot_timestep_distributions
+
+            plot_timestep_distributions(noised, timesteps, str(plots_folder))
         except Exception as e:
             logging.warning(f"KL diagnostics failed: {e}")
 

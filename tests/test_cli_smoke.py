@@ -74,3 +74,27 @@ def test_train_then_sample_cli(workspace):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (workspace / "ss.pdf").exists()
+
+
+def test_multihost_flag_plumbing(monkeypatch):
+    """--multihost must call jax.distributed.initialize (stubbed here: no pod
+    exists in this environment; scripts/tpu_pod_launch.sh is the launcher)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bin_train", os.path.join(REPO, "bin", "train.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import jax
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: calls.append(1))
+    assert mod.maybe_init_distributed(False) is False
+    assert calls == []
+    assert mod.maybe_init_distributed(True) is True
+    assert calls == [1]
+    # the flag exists on the parser
+    args = mod.build_parser().parse_args(["--multihost"])
+    assert args.multihost

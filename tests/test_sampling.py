@@ -2,6 +2,8 @@
 Sampler tests: math parity against a numpy oracle of the reference DDPM step,
 reproducibility (reference tests/test_sampling.py), and mesh-sharded sampling.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -270,3 +272,24 @@ class TestDDIM(_TinyModelMixin):
             method="ddim", ddim_steps=10, seed=0,
         )
         assert len(out) == 2 and out[0].shape == (10, 6)
+
+
+class TestSampleSimpleReproducibility:
+    """Reference tests/test_sampling.py: sample_simple is reproducible for a
+    fixed seed and diverges across seeds (run against the committed mini
+    model instead of the hub download)."""
+    MODEL_DIR = os.path.join(
+        os.path.dirname(__file__), "mini_model_for_testing", "results"
+    )
+
+    def test_same_seed_reproducible(self):
+        a = samp.sample_simple(self.MODEL_DIR, n=1, sweep_lengths=(20, 22), seed=5)
+        b = samp.sample_simple(self.MODEL_DIR, n=1, sweep_lengths=(20, 22), seed=5)
+        assert len(a) == len(b) == 2
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x.to_numpy(), y.to_numpy())
+
+    def test_different_seed_diverges(self):
+        a = samp.sample_simple(self.MODEL_DIR, n=1, sweep_lengths=(20, 21), seed=5)
+        b = samp.sample_simple(self.MODEL_DIR, n=1, sweep_lengths=(20, 21), seed=6)
+        assert not np.allclose(a[0].to_numpy(), b[0].to_numpy())

@@ -67,3 +67,94 @@ def test_sharding_specs_cover_dense_kernels(setup):
     assert any("intermediate_dense/kernel" in p for p in sharded_paths)
     assert any("attention_output_dense/kernel" in p for p in sharded_paths)
     assert len(sharded_paths) >= CONFIG.num_hidden_layers * 8
+
+
+def test_tprunner_caches_sharded_params(setup):
+    """TPRunner shards params once; repeated calls reuse placement + jit."""
+    model, variables, args = setup
+    mesh = tp.make_mesh_2d(4, 2)
+    runner = tp.TPRunner(model, variables["params"], variables["constants"], mesh)
+    baseline = np.asarray(model.apply(variables, *args, deterministic=True))
+    out1 = np.asarray(runner(args, {"deterministic": True}))
+    out2 = np.asarray(runner(args, {"deterministic": True}))
+    np.testing.assert_allclose(out1, baseline, atol=1e-5)
+    np.testing.assert_array_equal(out1, out2)
+    # params were placed with TP shardings at construction
+    q = runner.params["encoder_layer_0"]["attention_self"]["query"]["kernel"]
+    assert any(ax is not None for ax in q.sharding.spec)
+    assert len(runner._jit_cache) == 1
+
+
+def test_tp_train_step_matches_single_device():
+    """A full TP training step (fwd + bwd + adamw over the 2-D mesh) must
+    produce the same parameters as the unsharded step."""
+    from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from foldingdiff_tpu.training import Trainer, TrainConfig
+
+    rng = np.random.default_rng(1)
+    b, l = 8, 32
+    batch = {
+        "angles": rng.uniform(-np.pi, np.pi, (b, l, 6)).astype(np.float32),
+        "attn_mask": np.ones((b, l), dtype=np.float32),
+        "lengths": np.full((b,), l, dtype=np.int32),
+    }
+    sched = DiffusionSchedule.create("linear", 10)
+    tcfg = TrainConfig(lr=1e-3, batch_size=b, max_epochs=1, lr_scheduler=None, seed=0)
+
+    def run(n_steps, tp_mesh=None):
+        model = BertForDiffusion(CONFIG)
+        trainer = Trainer(model, sched, tcfg, steps_per_epoch=1)
+        state = trainer.init_state(jax.random.PRNGKey(0), pad=l)
+        if tp_mesh is not None:
+            state = tp.shard_train_state(state, tp_mesh)
+        for i in range(n_steps):
+            key = jax.random.PRNGKey(100 + i)
+            if tp_mesh is not None:
+                state, avg, _ = tp.tp_train_step(trainer, state, batch, key, tp_mesh)
+            else:
+                state, avg, _ = trainer._train_step(state, batch, key)
+        return jax.device_get(state.params), float(avg)
+
+    p_single, l_single = run(3)
+    mesh = tp.make_mesh_2d(4, 2)
+    p_tp, l_tp = run(3, tp_mesh=mesh)
+    assert np.isclose(l_single, l_tp, atol=1e-5)
+    flat_s = jax.tree_util.tree_flatten_with_path(p_single)[0]
+    flat_t = jax.tree.leaves(p_tp)
+    for (kp, a), b_ in zip(flat_s, flat_t):
+        path = "/".join(str(getattr(k, "key", k)) for k in kp)
+        if path.endswith("key/bias"):
+            # The attention key bias has an EXACTLY zero gradient (softmax is
+            # invariant to a per-query constant logit shift), so adam turns
+            # f32 reassociation noise into +-lr sign updates that legitimately
+            # differ across shardings. Bound it by the adam step size instead.
+            np.testing.assert_allclose(a, b_, atol=3 * 1e-3 * 1.01)
+            continue
+        np.testing.assert_allclose(a, b_, atol=2e-5, err_msg=path)
+
+
+def test_shard_train_state_places_moments(setup):
+    """Optimizer moments must inherit the param TP shardings."""
+    from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from foldingdiff_tpu.training import Trainer, TrainConfig
+
+    model = BertForDiffusion(CONFIG)
+    trainer = Trainer(
+        model, DiffusionSchedule.create("linear", 10),
+        TrainConfig(lr=1e-3, batch_size=8, max_epochs=1, lr_scheduler=None),
+        steps_per_epoch=1,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), pad=32)
+    mesh = tp.make_mesh_2d(4, 2)
+    state = tp.shard_train_state(state, mesh)
+    q = state.params["encoder_layer_0"]["attention_self"]["query"]["kernel"]
+    assert any(ax is not None for ax in q.sharding.spec)
+    # find the adam mu subtree and check the same leaf is sharded
+    import optax
+
+    mus = [s.mu for s in jax.tree.leaves(
+        state.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+    ) if isinstance(s, optax.ScaleByAdamState)]
+    assert mus, "adam state not found"
+    mu_q = mus[0]["encoder_layer_0"]["attention_self"]["query"]["kernel"]
+    assert any(ax is not None for ax in mu_q.sharding.spec)
