@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""
+Post-training evaluation of the flagship synthetic run (VERDICT round-1 item
+4: train at a real budget on the TPU and publish throughput + KS stats).
+
+Pipeline: load analysis/synthetic_flagship/results -> sample the manuscript
+protocol (10 backbones per length in [50,128) = 780, T=1000 DDPM) on the TPU
+-> KS of sampled angle marginals vs the held-out TEST split -> SS/clash
+structural stats -> training-throughput summary from metrics.csv.
+
+Writes ks_tests.json + report.json next to this script (committed artifacts;
+the trained weights stay out of git -- see .gitignore).
+
+Usage: python analysis/synthetic_flagship/evaluate.py [--nsample-lengths 10]
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    parser = argparse.ArgumentParser(usage=__doc__)
+    parser.add_argument("--results", default=os.path.join(HERE, "results"))
+    parser.add_argument("--n", type=int, default=10, help="samples per length")
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--n-pdb", type=int, default=128,
+                        help="how many sampled structures to write as PDBs for "
+                        "structural stats")
+    args = parser.parse_args()
+
+    import pandas as pd
+    from scipy import stats
+
+    from foldingdiff_tpu.diffusion import sampling as samp
+    from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
+    from foldingdiff_tpu.geometry.featurize import EXHAUSTIVE_ANGLES, create_new_chain_nerf
+    from foldingdiff_tpu.metrics.clashes import count_clashes
+    from foldingdiff_tpu.metrics.ss import count_structures_in_pdb
+    from foldingdiff_tpu.models import io as model_io
+    from foldingdiff_tpu.training.orchestration import get_train_valid_test_sets
+
+    model, params, constants, train_args = model_io.from_dir(args.results)
+    sched = DiffusionSchedule.create(
+        train_args["variance_schedule"], train_args["timesteps"]
+    )
+    mean_offset = np.load(os.path.join(args.results, "training_mean_offset.npy"))
+
+    import time
+
+    t0 = time.time()
+    sampled = samp.sample(
+        model, params, constants, sched,
+        is_angular=[True] * 6, pad=int(train_args["max_seq_len"]),
+        n=args.n, sweep_lengths=(50, 128), batch_size=args.batch,
+        mean_offset=mean_offset, seed=31,
+    )
+    sample_sec = time.time() - t0
+    print(f"sampled {len(sampled)} structures in {sample_sec:.1f}s")
+
+    # Held-out comparison: the TEST split of the same corpus (the split logic
+    # reproduces training's seed-6489 80/10/10 shuffle)
+    _, _, test_ds = get_train_valid_test_sets(
+        dataset_key=train_args["dataset_key"],
+        angles_definitions=train_args["angles_definitions"],
+        max_seq_len=int(train_args["max_seq_len"]),
+        min_seq_len=int(train_args["min_seq_len"]),
+        seq_trim_strategy=train_args["trim_strategy"],
+    )
+    rows = []
+    for i in range(len(test_ds)):
+        item = test_ds.__getitem__(i, ignore_zero_center=True)
+        rows.append(item["angles"][: int(item["lengths"])])
+    test_angles = np.concatenate(rows)
+    gen_angles = np.concatenate(sampled)
+
+    rng = np.random.default_rng(0)
+    ks = {}
+    for i, name in enumerate(EXHAUSTIVE_ANGLES):
+        stat, p = stats.ks_2samp(gen_angles[:, i], test_angles[:, i])
+        sub_g = rng.choice(gen_angles[:, i], size=min(500, len(gen_angles)), replace=False)
+        sub_t = rng.choice(test_angles[:, i], size=min(500, len(test_angles)), replace=False)
+        _, p_sub = stats.ks_2samp(sub_g, sub_t)
+        ks[name] = {
+            "stat": float(stat), "p": float(p), "p_subsampled": float(p_sub),
+            "reject_at_0.01_subsampled": bool(p_sub < 0.01),
+        }
+    with open(os.path.join(HERE, "ks_tests.json"), "w") as f:
+        json.dump(ks, f, indent=2)
+    print(json.dumps(ks, indent=2))
+
+    # Structural stats on a subset written to PDB
+    gen_dir = os.path.join(args.results, "sampled_pdb")
+    os.makedirs(gen_dir, exist_ok=True)
+    ss_counts, clash_counts = [], []
+    for i, s in enumerate(sampled[: args.n_pdb]):
+        out = create_new_chain_nerf(
+            os.path.join(gen_dir, f"gen_{i}.pdb"),
+            pd.DataFrame(s, columns=EXHAUSTIVE_ANGLES),
+        )
+        if out:
+            ss_counts.append(count_structures_in_pdb(out))
+            clash_counts.append(count_clashes(out))
+    alpha = [a for a, _ in ss_counts]
+    beta = [b for _, b in ss_counts]
+
+    # Training throughput from metrics.csv
+    metrics = pd.read_csv(os.path.join(args.results, "logs", "metrics.csv"))
+    n_train = len(open(os.path.join(args.results, "train_files.txt")).read().splitlines())
+    steps_per_epoch = max(n_train // int(train_args["batch_size"]), 1)
+    med_epoch_s = float(metrics["epoch_seconds"].median())
+    report = {
+        "train": {
+            "epochs": int(metrics["epoch"].max()) + 1,
+            "final_train_loss": float(metrics["train_loss"].iloc[-1]),
+            "final_val_loss": float(metrics["val_loss"].iloc[-1]),
+            "best_val_loss": float(metrics["val_loss"].min()),
+            "median_epoch_seconds": med_epoch_s,
+            "steps_per_sec": steps_per_epoch / med_epoch_s,
+            "samples_per_sec": steps_per_epoch * int(train_args["batch_size"]) / med_epoch_s,
+        },
+        "sampling": {
+            "n_structures": len(sampled),
+            "wall_clock_sec": sample_sec,
+            "backbones_per_sec": len(sampled) / sample_sec,
+        },
+        "ks_max_stat": max(v["stat"] for v in ks.values()),
+        "ks_rejects_at_0.01_subsampled": sum(
+            v["reject_at_0.01_subsampled"] for v in ks.values()
+        ),
+        "structures": {
+            "n_scored": len(ss_counts),
+            "mean_alpha_elements": float(np.mean(alpha)),
+            "mean_beta_elements": float(np.mean(beta)),
+            "frac_with_helix": float(np.mean([a > 0 for a in alpha])),
+            "mean_clashes": float(np.mean(clash_counts)),
+        },
+    }
+    with open(os.path.join(HERE, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

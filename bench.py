@@ -109,9 +109,13 @@ def _run_bench(degraded: bool = False):
     # One jitted sampler reused for warmup and the timed run (each
     # build_sampler is its own jit cache). Warmup pre-compiles every
     # (chunk_size, seq_bucket) shape the timed sweep will hit.
+    # scan unroll pipelines consecutive reverse steps (~10% on v5e) at the
+    # cost of proportionally longer compiles; worthwhile here because the
+    # persistent compile cache amortizes them across bench runs
+    unroll = int(os.environ.get("BENCH_UNROLL", "4"))
     sampler = samp.build_sampler(
         model, variables["params"], variables["constants"], schedule, [True] * 6,
-        gen_noise=True, n_ft=6,
+        gen_noise=True, n_ft=6, unroll=unroll,
     )
     # Mirror sample()'s bucket-aware chunking to enumerate compiled shapes
     lengths = [l for l in range(50, 128) for _ in range(n_per_length)]

@@ -108,6 +108,7 @@ def build_sampler(
     n_ft: Optional[int] = None,
     angular_variance: float = 1.0,
     nonangular_variance: float = 1.0,
+    unroll: int = 1,
 ):
     """
     jit-compiled sampler closure. Weights are closed over; one compilation per
@@ -135,7 +136,7 @@ def build_sampler(
             )
         return p_sample_loop(
             model_fn, noise, key, attn_mask, schedule, is_angular, return_history,
-            start_t=start_t,
+            start_t=start_t, unroll=unroll,
         )
 
     if not gen_noise:

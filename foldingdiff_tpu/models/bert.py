@@ -76,7 +76,7 @@ class SelfAttention(nn.Module):
 
     def _use_pallas(self, deterministic: bool) -> bool:
         impl = self.config.attention_impl
-        if impl == "pallas":
+        if impl in ("pallas", "pallas_v2"):
             return True
         # "auto" currently resolves to the XLA path: measured on v5e at
         # B<=256/L=128, XLA's own attention fusion outperforms the VMEM
@@ -129,13 +129,22 @@ class SelfAttention(nn.Module):
             self._use_pallas(deterministic)
             and cfg.position_embedding_type != "relative_key_query"
         ):
-            from foldingdiff_tpu.ops.pallas_attention import fused_attention
+            if cfg.attention_impl == "pallas_v2":
+                from foldingdiff_tpu.ops.pallas_attention import fused_attention_v2
 
-            ctx = fused_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), attn_bias_2d,
-                gather_dist_emb() if table is not None else None,
-            )
+                ctx = fused_attention_v2(
+                    q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3), attn_bias_2d,
+                    rel_table=table, m=m if table is not None else None,
+                )
+            else:
+                from foldingdiff_tpu.ops.pallas_attention import fused_attention
+
+                ctx = fused_attention(
+                    q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3), attn_bias_2d,
+                    gather_dist_emb() if table is not None else None,
+                )
             return ctx.transpose(0, 2, 1, 3).reshape(b, l, h * d)
 
         scores = jnp.einsum("blhd,bmhd->bhlm", q, k)

@@ -36,10 +36,12 @@ class ModelConfig:
     # pick (bf16 inputs on TPU MXU -- fastest), "float32"/"highest" force f32
     # accumulation for bitwise-style parity with the torch reference.
     matmul_precision: str = "default"
-    # Attention implementation: "auto" uses the fused Pallas VMEM kernel on
-    # TPU for deterministic (no-dropout) passes -- ~6x faster at B=256, L=128
-    # -- and XLA einsums elsewhere; "xla" forces the einsum path (needed for
-    # gradients/dropout); "pallas" forces the kernel.
+    # Attention implementation: "auto" resolves to XLA einsums (measured
+    # fastest at B<=256/L=128 on v5e); "xla" forces the einsum path (needed
+    # for gradients/dropout); "pallas" forces the v1 VMEM kernel (per-head,
+    # gathered (L,L,D) rel tensor); "pallas_v2" forces the v2 kernel
+    # (all-heads batched MXU matmuls, rel scores via one qE matmul against
+    # the raw distance table + in-VMEM skew).
     attention_impl: str = "auto"
     # relative_key score computation: "gather" = HF-style einsum over gathered
     # embeddings; "skew" = one matmul against the reversed table + pad/reshape
