@@ -79,6 +79,8 @@ def _run_bench(degraded: bool = False):
         intermediate_size=768,
         max_position_embeddings=128,
         position_embedding_type="relative_key",
+        # A/B knob: "auto" (XLA einsums), "pallas" (v1 kernel), "pallas_v2"
+        attention_impl=os.environ.get("BENCH_ATTN", "auto"),
     )
     model = BertForDiffusion(config)
     variables = model_io.init_model_variables(model, jax.random.PRNGKey(0), pad=128)
