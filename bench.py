@@ -86,9 +86,11 @@ def _run_bench(degraded: bool = False):
     variables = model_io.init_model_variables(model, jax.random.PRNGKey(0), pad=128)
     schedule = DiffusionSchedule.create("cosine", timesteps)
 
-    # Single seq bucket (pad=128): remote compiles cost minutes each, far
-    # more than the padded-compute waste of not using a 64 bucket
-    bucket = int(os.environ.get("BENCH_BUCKET", "64"))
+    # Measured on v5e (B=64, T=1000 sweep): bucket 64 -> 15.3/s, 32 -> 17.2/s,
+    # 16 -> 18.0/s (finer buckets cut padded compute; below 16 the extra
+    # compiled shapes and tail chunks outweigh the ~4% compute saving). The
+    # extra shapes' compile cost is one-time via the persistent cache.
+    bucket = int(os.environ.get("BENCH_BUCKET", "16"))
     kwargs = dict(
         is_angular=[True] * 6,
         pad=128,

@@ -63,6 +63,22 @@ def _relative_scores_skew(q: jnp.ndarray, table: jnp.ndarray, max_pos: int) -> j
     return flat.reshape(b, h, l, 2 * m - 1)[..., :l]
 
 
+def _relative_scores_onedot(q: jnp.ndarray, table: jnp.ndarray, max_pos: int) -> jnp.ndarray:
+    """
+    relative_key scores via ONE (B*L*H, D) x (D, 2M-1) matmul against the full
+    embedding table followed by a take_along_axis gather of the (l, r) ->
+    l-r+M-1 diagonals. Avoids both the L tiny batched matmuls the gather
+    einsum lowers to AND the skew trick's padded HBM intermediate. q is
+    (B, L, H, D); returns (B, H, L, L). Numerically identical to the gather
+    path (same dot products, no reassociation).
+    """
+    b, l, h, d = q.shape
+    p = jnp.einsum("blhd,kd->blhk", q, table)  # (B, L, H, 2M-1)
+    idx = (jnp.arange(l)[:, None] - jnp.arange(l)[None, :]) + (max_pos - 1)  # (L, L)
+    rel = jnp.take_along_axis(p, jnp.broadcast_to(idx[None, :, None, :], (b, l, h, l)), axis=-1)
+    return rel.transpose(0, 2, 1, 3)
+
+
 class SelfAttention(nn.Module):
     """HF BertSelfAttention numerics incl. relative_key position scoring.
 
@@ -153,6 +169,11 @@ class SelfAttention(nn.Module):
                 scores = scores + _relative_scores_skew(
                     q.transpose(0, 2, 1, 3), table, m
                 )
+            elif (
+                cfg.relative_scores_impl == "onedot"
+                and cfg.position_embedding_type == "relative_key"
+            ):
+                scores = scores + _relative_scores_onedot(q, table, m)
             else:
                 dist_emb = gather_dist_emb()
                 scores = scores + jnp.einsum("blhd,lrd->bhlr", q, dist_emb)

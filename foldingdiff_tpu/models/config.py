@@ -45,9 +45,11 @@ class ModelConfig:
     attention_impl: str = "auto"
     # relative_key score computation: "gather" = HF-style einsum over gathered
     # embeddings; "skew" = one matmul against the reversed table + pad/reshape
-    # realignment. Numerically identical; measured on v5e the gather einsum
-    # wins (5.5 vs 14.7 ms/step at B=64 -- the skew's padded (B,H,L,2M)
-    # intermediate materializes in HBM), so gather is the default.
+    # realignment; "onedot" = one matmul against the full table + a
+    # take_along_axis diagonal gather. All numerically identical (same dot
+    # products). Measured on v5e at B=64/L=128: gather 5.5, skew 14.7,
+    # onedot ~2500 ms/step (take_along_axis's (B,L,H,L)-index gather does not
+    # vectorize on TPU); see scripts/microbench_relkey.py for the A/B harness.
     relative_scores_impl: str = "gather"
 
     @property

@@ -98,6 +98,25 @@ class TestModelProperties:
         assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-3)
 
 
+class TestRelativeScoresImpls:
+    """All relative_key score formulations compute the same dot products
+    (gather = HF semantics; skew and onedot are matmul-shaped rewrites --
+    see scripts/microbench_relkey.py for the perf A/B on real TPU)."""
+
+    @pytest.mark.parametrize("impl", ["skew", "onedot"])
+    def test_matches_gather(self, impl):
+        import dataclasses
+
+        model, variables = make_model()
+        alt_model = BertForDiffusion(
+            dataclasses.replace(MINI_CONFIG, relative_scores_impl=impl)
+        )
+        x, t, mask, _ = rand_batch(MINI_CONFIG)
+        ref = model.apply(variables, x, t, mask, deterministic=True)
+        alt = alt_model.apply(variables, x, t, mask, deterministic=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(alt), atol=2e-5)
+
+
 class TestSaveLoad:
     def test_roundtrip(self, tmp_path):
         model, variables = make_model()
