@@ -24,8 +24,10 @@ import time
 
 
 def _is_resource_error(e: BaseException) -> bool:
+    # Uppercase markers only: a lowercase "oom" substring matches ordinary
+    # words/paths ("zoomcache", "room") and would silently degrade a real bug
     s = repr(e)
-    return any(k in s for k in ("RESOURCE_EXHAUSTED", "Out of memory", "OOM", "oom"))
+    return any(k in s for k in ("RESOURCE_EXHAUSTED", "Out of memory", "OOM"))
 
 
 def main():
@@ -126,14 +128,13 @@ def _run_bench(degraded: bool = False):
     groups = {}
     for l in lengths:
         groups.setdefault(min(128, -(-l // bucket) * bucket), []).append(l)
-    shapes = set()
-    n_chunks = 0
-    for bkt, g in groups.items():
-        n_chunks += -(-len(g) // batch_size)
-        if len(g) >= batch_size:
-            shapes.add((batch_size, bkt))
+    chunk_shapes = []  # every (chunk_size, padded_len) the sweep executes
+    for bkt, g in sorted(groups.items()):
+        chunk_shapes += [(batch_size, bkt)] * (len(g) // batch_size)
         if len(g) % batch_size:
-            shapes.add((len(g) % batch_size, bkt))
+            chunk_shapes.append((len(g) % batch_size, bkt))
+    shapes = set(chunk_shapes)
+    n_chunks = len(chunk_shapes)
     for chunk_size, bkt in sorted(shapes):
         warm = dict(kwargs)
         warm.pop("n")
@@ -153,15 +154,20 @@ def _run_bench(degraded: bool = False):
     # step_ms * T * n_chunks, the run was host/tunnel-contended.
     import numpy as np
 
-    probe_bkt = max(b for _, b in shapes)
-    n_probe_chunks = -(-len(groups.get(probe_bkt, [])) // batch_size)
-    probe_mask = np.ones((batch_size, probe_bkt), dtype=np.float32)
+    # Probe a shape the sweep actually executes (largest bucket, then largest
+    # chunk at that bucket) -- probing (batch_size, max_bucket) blindly would
+    # compile an unused shape whenever the largest group has < batch_size
+    # items (e.g. BENCH_N_PER_LENGTH=1) and report a floor for a chunk shape
+    # that never runs.
+    probe_shape = max(shapes, key=lambda s: (s[1], s[0]))
+    n_probe_chunks = chunk_shapes.count(probe_shape)
+    probe_mask = np.ones(probe_shape, dtype=np.float32)
     if shard_fn is not None:
         probe_mask = shard_fn(probe_mask)
     probe_times = []
     for i in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(sampler(probe_mask, np.uint32(1234), np.uint32(i)))
+        jax.block_until_ready(sampler(probe_mask, np.uint32(1234), np.uint32(0), np.uint32(i)))
         probe_times.append(time.perf_counter() - t0)
     step_ms = min(probe_times) / timesteps * 1000.0
 

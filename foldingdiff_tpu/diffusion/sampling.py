@@ -145,10 +145,13 @@ def build_sampler(
     assert n_ft is not None
 
     @jax.jit
-    def sampler(attn_mask, seed, chunk_i):
-        # Same derivation sample() used to do eagerly: fold the chunk index
-        # into the master key, then split into (noise, loop) keys
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), chunk_i)
+    def sampler(attn_mask, seed_lo, seed_hi, chunk_i):
+        # Same derivation sample() used to do eagerly: build the master key
+        # from the seed (split into two uint32 words so 64-bit seeds keep
+        # distinct streams instead of silently colliding mod 2**32), fold the
+        # chunk index in, then split into (noise, loop) keys
+        key = jax.random.fold_in(jax.random.PRNGKey(seed_lo), seed_hi)
+        key = jax.random.fold_in(key, chunk_i)
         noise_key, loop_key = jax.random.split(key)
         b, l = attn_mask.shape
         noise = sample_wrapped_noise(
@@ -397,7 +400,8 @@ def sample(
         pending.append((
             idx_chunk,
             this_lengths,
-            sampler(attn_mask, np.uint32(seed & 0xFFFFFFFF), np.uint32(chunk_i)),
+            sampler(attn_mask, np.uint32(seed & 0xFFFFFFFF),
+                    np.uint32((seed >> 32) & 0xFFFFFFFF), np.uint32(chunk_i)),
         ))
 
     results: dict = {}

@@ -146,6 +146,23 @@ def fused_attention(
     )(*args)
 
 
+def _skew_rows(x: jnp.ndarray, l: int) -> jnp.ndarray:
+    """
+    Per-row left shift: given x (l, 2l) return y[r, j] = x[r, (l-1-r) + j]
+    for j < l. The shift amount s = l-1-r is decomposed into powers of two:
+    log2(l) static-amount lane rolls, each applied per-row via a select on
+    the shift's bit. No flatten/restride (unsupported in Mosaic) and no
+    per-row dynamic gather (unvectorizable). Max shift is l-1 and x is 2l
+    wide, so the columns read never see roll wrap-around.
+    """
+    shift = (l - 1) - jax.lax.broadcasted_iota(jnp.int32, (l, 2 * l), 0)
+    k = 1
+    while k < l:
+        x = jnp.where((shift & k) != 0, jnp.roll(x, -k, axis=1), x)
+        k *= 2
+    return x[:, :l]
+
+
 def _attn_kernel_v2(
     q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float, m: int
 ):
@@ -156,7 +173,7 @@ def _attn_kernel_v2(
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (h, Lq, Lk)
-    scores = scores * scale + bias_ref[0][None, None, :]
+    scores = scores * scale + bias_ref[0]  # bias block (1, 1, L) broadcasts over (h, Lq, Lk)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     probs = jnp.exp(scores)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
@@ -178,8 +195,10 @@ def _attn_rel_kernel_v2(
 
     Math: rel[l, j] = sum_d q[l, d] * E[l - j + M - 1, d]. With the table
     pre-reversed (Erev[c] = E[2M-2-c]) and the window [M-L, M+L-1) sliced,
-    rel[l, j] = qErev_win[l, (L-1-l) + j] -- an increasing per-row shift,
-    extracted with the pad/flatten/restride skew (static shapes only).
+    rel[l, j] = qErev_win[l, (L-1-l) + j] -- an increasing per-row left
+    shift, realized by _skew_rows (binary-decomposed static rolls; Mosaic
+    rejects the classic pad/flatten/restride skew -- "unsupported shape cast"
+    on the (L, 2L) -> (2L*L,) flatten).
     """
     q = q_ref[0].astype(jnp.float32)  # (h, L, d)
     k = k_ref[0].astype(jnp.float32)
@@ -200,13 +219,11 @@ def _attn_rel_kernel_v2(
     rel_rows = []
     for head in range(h):
         x = qe[head * l : (head + 1) * l]          # (L, 2L-1)
-        x = jnp.pad(x, ((0, 0), (0, 1)))           # (L, 2L) row stride 2L
-        f = x.reshape(-1)                          # row-major flatten
-        y = f[l - 1 : l - 1 + l * (2 * l - 1)].reshape(l, 2 * l - 1)
-        rel_rows.append(y[:, :l])                  # rel[l_, j] per head
+        x = jnp.pad(x, ((0, 0), (0, 1)))           # (L, 2L)
+        rel_rows.append(_skew_rows(x, l))          # rel[l_, j] per head
     rel = jnp.stack(rel_rows)                      # (h, L, L)
 
-    scores = (scores + rel) * scale + bias_ref[0][None, None, :]
+    scores = (scores + rel) * scale + bias_ref[0]  # bias block (1, 1, L)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     probs = jnp.exp(scores)
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
@@ -236,12 +253,16 @@ def fused_attention_v2(
     grid = (b,)
 
     qkv_spec = pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, l), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Bias carried as (B, 1, 1, L): Mosaic requires the last two block dims be
+    # (8k, 128k) or equal to the array dims -- a (1, L) block on (B, L) is
+    # rejected; (1, L) on (B, 1, 1, L) satisfies "equal" + "divisible".
+    bias4 = mask_bias[:, None, None, :]
+    bias_spec = pl.BlockSpec((1, 1, 1, l), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
 
     if rel_table is None:
         kernel = functools.partial(_attn_kernel_v2, scale=scale, m=m or l)
         in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
-        args = (q, k, v, mask_bias)
+        args = (q, k, v, bias4)
     else:
         assert m is not None and rel_table.shape[0] == 2 * m - 1
         assert l <= m
@@ -251,7 +272,7 @@ def fused_attention_v2(
         )
         kernel = functools.partial(_attn_rel_kernel_v2, scale=scale, m=m)
         in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec, table_spec]
-        args = (q, k, v, mask_bias, table_rev)
+        args = (q, k, v, bias4, table_rev)
 
     flops = 2 * b * h * l * l * d * 2 + (2 * b * h * l * (2 * m - 1 if m else l) * d if rel_table is not None else 0)
     return pl.pallas_call(

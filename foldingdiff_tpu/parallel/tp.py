@@ -54,18 +54,39 @@ def _spec_for(path: str) -> P:
     return P()
 
 
+def _path_str(kp) -> str:
+    """'/'-joined key path covering DictKey(.key), SequenceKey(.idx), and
+    GetAttrKey(.name) entries -- the one stringification both the param and
+    train-state sharding builders use (a second divergent copy could silently
+    un-shard params whose paths stringify differently)."""
+    parts = []
+    for p in kp:
+        for attr in ("key", "idx", "name"):
+            if hasattr(p, attr):
+                parts.append(str(getattr(p, attr)))
+                break
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _validated_put(x, s: NamedSharding, mesh: Mesh):
+    """device_put with a clear divisibility check on every sharded dim (a
+    non-divisible kernel otherwise fails with an opaque GSPMD error)."""
+    for dim, axis in enumerate(s.spec):
+        if axis is not None:
+            size = mesh.shape[axis]
+            assert x.shape[dim] % size == 0, (
+                f"dim {dim} of {x.shape} not divisible by mesh axis {axis}={size}"
+            )
+    return jax.device_put(x, s)
+
+
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for the model params over a 2-D mesh."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def path_str(kp):
-        return "/".join(
-            getattr(k, "key", getattr(k, "idx", str(k))) if not isinstance(k, str) else k
-            for k in [getattr(p, "key", p) for p in kp]
-        )
 
     def to_sharding(kp, leaf):
-        return NamedSharding(mesh, _spec_for(path_str(kp)))
+        return NamedSharding(mesh, _spec_for(_path_str(kp)))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
@@ -74,18 +95,7 @@ def shard_params(params, mesh: Mesh):
     """Place params with TP shardings; head-dim divisibility is validated for
     the sharded kernels."""
     shardings = param_shardings(params, mesh)
-
-    def place(x, s):
-        spec = s.spec
-        for dim, axis in enumerate(spec):
-            if axis is not None:
-                size = mesh.shape[axis] if isinstance(axis, str) else 1
-                assert x.shape[dim] % size == 0, (
-                    f"dim {dim} of {x.shape} not divisible by mesh axis {axis}={size}"
-                )
-        return jax.device_put(x, s)
-
-    return jax.tree.map(place, params, shardings)
+    return jax.tree.map(lambda x, s: _validated_put(x, s, mesh), params, shardings)
 
 
 class TPRunner:
@@ -138,11 +148,8 @@ def train_state_shardings(state, mesh: Mesh):
     axis is used whole per attention head and the table is tiny.
     """
 
-    def path_str(kp):
-        return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in kp)
-
     def to_sharding(kp, leaf):
-        return NamedSharding(mesh, _spec_for(path_str(kp)))
+        return NamedSharding(mesh, _spec_for(_path_str(kp)))
 
     return jax.tree_util.tree_map_with_path(to_sharding, state)
 
@@ -150,7 +157,7 @@ def train_state_shardings(state, mesh: Mesh):
 def shard_train_state(state, mesh: Mesh):
     """Place a TrainState (params + optimizer moments) with TP shardings."""
     shardings = train_state_shardings(state, mesh)
-    return jax.tree.map(jax.device_put, state, shardings)
+    return jax.tree.map(lambda x, s: _validated_put(x, s, mesh), state, shardings)
 
 
 def tp_train_step(trainer, state, batch, rng, mesh: Mesh):

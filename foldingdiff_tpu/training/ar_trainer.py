@@ -71,7 +71,12 @@ class ARTrainer:
         )
         pred_at = jnp.take_along_axis(preds, causal_len[:, None, None], axis=1)[:, 0, :]
         target = jnp.take_along_axis(angles, causal_len[:, None, None], axis=1)[:, 0, :]
-        return loss_lib.radian_smooth_l1_loss(pred_at, target, beta=np.pi / 10)
+        # Exclude zero-length rows: shard_batch zero-pads ragged batches to the
+        # mesh size (parallel/mesh.py), and unlike the diffusion losses this
+        # per-row loss is not attn_mask-masked -- without this, padded rows
+        # would train the model toward predicting zero angles.
+        valid = jnp.broadcast_to((lengths > 0)[:, None], pred_at.shape)
+        return loss_lib.radian_smooth_l1_loss(pred_at, target, beta=np.pi / 10, mask=valid)
 
     def _loss_impl(self, params, constants, batch, rng):
         return self._loss(params, constants, batch, rng, deterministic=True)

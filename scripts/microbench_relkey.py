@@ -31,14 +31,18 @@ STEPS = int(__import__("os").environ.get("MB_STEPS", "100"))
 
 
 def time_impl(impl: str) -> float:
+    # impl "absolute" times the absolute-position model (no relative term at
+    # all) -- the lower bound any relative_key formulation could reach.
+    # impl "pallas"/"pallas_v2" selects the fused attention kernels.
     config = ModelConfig(
         hidden_size=384,
         num_hidden_layers=12,
         num_attention_heads=12,
         intermediate_size=768,
         max_position_embeddings=L,
-        position_embedding_type="relative_key",
-        relative_scores_impl=impl,
+        position_embedding_type="absolute" if impl == "absolute" else "relative_key",
+        relative_scores_impl=impl if impl in ("gather", "skew", "onedot") else "gather",
+        attention_impl=impl if impl in ("pallas", "pallas_v2") else "auto",
     )
     model = BertForDiffusion(config)
     variables = model_io.init_model_variables(model, jax.random.PRNGKey(0), pad=L)
@@ -76,8 +80,10 @@ def check_parity(ref_impl: str, impl: str) -> float:
     x = jnp.asarray(np.random.default_rng(1).normal(size=(4, L, 6)), jnp.float32)
     t = jnp.zeros((4,), jnp.int32)
     mask = jnp.ones((4, L), jnp.float32)
-    a = model_a.apply(variables, x, t, mask, deterministic=True)
-    b = model_b.apply(variables, x, t, mask, deterministic=True)
+    apply_a = jax.jit(lambda v, x, t, m: model_a.apply(v, x, t, m, deterministic=True))
+    apply_b = jax.jit(lambda v, x, t, m: model_b.apply(v, x, t, m, deterministic=True))
+    a = apply_a(variables, x, t, mask)
+    b = apply_b(variables, x, t, mask)
     return float(jnp.max(jnp.abs(a - b)))
 
 
@@ -85,7 +91,9 @@ if __name__ == "__main__":
     impls = sys.argv[1:] or ["gather", "skew", "onedot"]
     print(f"B={B} L={L} steps={STEPS} platform={jax.devices()[0].platform}")
     for impl in impls:
-        if impl != "gather":
+        # pallas kernels' numerics are covered by tests/test_pallas_attention
+        # (interpret mode); parity here only for the jnp formulations
+        if impl not in ("gather", "absolute", "pallas", "pallas_v2"):
             print(f"{impl}: max|diff| vs gather = {check_parity('gather', impl):.2e}")
         ms = time_impl(impl)
-        print(f"{impl}: {ms:.3f} ms/step")
+        print(f"{impl}: {ms:.3f} ms/step", flush=True)

@@ -68,6 +68,34 @@ def test_ar_sample_fills_positions(model_and_vars):
     assert not np.allclose(out[:, 4:32], np.asarray(seed_angles)[:, 4:32])
 
 
+def test_ar_loss_ignores_zero_length_padded_rows(model_and_vars):
+    """shard_batch zero-pads ragged batches (lengths == 0); those rows must
+    not contribute to the AR loss -- their content must be irrelevant."""
+    model, variables = model_and_vars
+    trainer = ARTrainer(model, TrainConfig(lr=1e-3, batch_size=4, max_epochs=1),
+                        steps_per_epoch=1)
+    rng = np.random.default_rng(3)
+    real = rng.uniform(-np.pi, np.pi, size=(2, 32, 6)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+
+    def batch(pad_value):
+        angles = np.concatenate([real, np.full((2, 32, 6), pad_value, np.float32)])
+        lengths = np.array([32, 32, 0, 0], np.int32)
+        mask = (np.arange(32)[None, :] < lengths[:, None]).astype(np.float32)
+        return {"angles": jnp.asarray(angles), "attn_mask": jnp.asarray(mask),
+                "lengths": jnp.asarray(lengths)}
+
+    loss_zeros = trainer._eval_step(
+        variables["params"], variables.get("constants", {}), batch(0.0), key)
+    loss_garbage = trainer._eval_step(
+        variables["params"], variables.get("constants", {}), batch(2.5), key)
+    np.testing.assert_allclose(
+        float(loss_zeros), float(loss_garbage), rtol=0, atol=0,
+        err_msg="padded rows leak into the AR loss",
+    )
+    assert np.isfinite(float(loss_zeros))
+
+
 def test_ar_training_reduces_loss(tmp_path):
     rng = np.random.default_rng(0)
     n, l = 32, 32

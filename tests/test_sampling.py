@@ -176,6 +176,19 @@ class TestSampleEndToEnd(_TinyModelMixin):
         b = samp.sample(model, variables["params"], variables["constants"], sched, seed=2, **kwargs)
         assert not np.allclose(a[0], b[0])
 
+    def test_seeds_beyond_32_bits_distinct(self):
+        """Seeds differing only above bit 32 must give distinct streams (a
+        uint32 truncation would silently collide them)."""
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 8)
+        kwargs = dict(
+            is_angular=IS_ANGULAR, pad=32, n=1, sweep_lengths=(16, 17), batch_size=4
+        )
+        a = samp.sample(model, variables["params"], variables["constants"], sched, seed=7, **kwargs)
+        b = samp.sample(model, variables["params"], variables["constants"], sched,
+                        seed=7 + 2**32, **kwargs)
+        assert not np.allclose(a[0], b[0])
+
     def test_history_end_to_end(self):
         model, variables = self.get_model()
         sched = DiffusionSchedule.create("cosine", 6)
