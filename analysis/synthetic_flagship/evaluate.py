@@ -36,7 +36,6 @@ def main():
     args = parser.parse_args()
 
     import pandas as pd
-    from scipy import stats
 
     from foldingdiff_tpu.diffusion import sampling as samp
     from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
@@ -80,17 +79,9 @@ def main():
     test_angles = np.concatenate(rows)
     gen_angles = np.concatenate(sampled)
 
-    rng = np.random.default_rng(0)
-    ks = {}
-    for i, name in enumerate(EXHAUSTIVE_ANGLES):
-        stat, p = stats.ks_2samp(gen_angles[:, i], test_angles[:, i])
-        sub_g = rng.choice(gen_angles[:, i], size=min(500, len(gen_angles)), replace=False)
-        sub_t = rng.choice(test_angles[:, i], size=min(500, len(test_angles)), replace=False)
-        _, p_sub = stats.ks_2samp(sub_g, sub_t)
-        ks[name] = {
-            "stat": float(stat), "p": float(p), "p_subsampled": float(p_sub),
-            "reject_at_0.01_subsampled": bool(p_sub < 0.01),
-        }
+    from foldingdiff_tpu.metrics.kl import ks_feature_tests
+
+    ks = ks_feature_tests(gen_angles, test_angles, EXHAUSTIVE_ANGLES)
     with open(os.path.join(HERE, "ks_tests.json"), "w") as f:
         json.dump(ks, f, indent=2)
     print(json.dumps(ks, indent=2))
@@ -115,7 +106,8 @@ def main():
     # Training throughput from metrics.csv
     metrics = pd.read_csv(os.path.join(args.results, "logs", "metrics.csv"))
     n_train = len(open(os.path.join(args.results, "train_files.txt")).read().splitlines())
-    steps_per_epoch = max(n_train // int(train_args["batch_size"]), 1)
+    # ceil: the trainer keeps the ragged tail batch (drop_last=False semantics)
+    steps_per_epoch = max(-(-n_train // int(train_args["batch_size"])), 1)
     med_epoch_s = float(metrics["epoch_seconds"].median())
     report = {
         "train": {
@@ -125,7 +117,7 @@ def main():
             "best_val_loss": float(metrics["val_loss"].min()),
             "median_epoch_seconds": med_epoch_s,
             "steps_per_sec": steps_per_epoch / med_epoch_s,
-            "samples_per_sec": steps_per_epoch * int(train_args["batch_size"]) / med_epoch_s,
+            "samples_per_sec": n_train / med_epoch_s,  # true examples/epoch, tail batch partial
         },
         "sampling": {
             "n_structures": len(sampled),

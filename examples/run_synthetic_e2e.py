@@ -44,7 +44,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import pandas as pd
-    from scipy import stats
 
     from foldingdiff_tpu.data.datasets import AnglesOnlyDataset
     from foldingdiff_tpu.diffusion import sampling as samp
@@ -110,14 +109,9 @@ def main():
         train_rows.append(item["angles"][: int(item["lengths"])])
     train_angles = np.concatenate(train_rows)
     gen_angles = np.concatenate(sampled)
-    rng = np.random.default_rng(0)
-    ks = {}
-    for i, name in enumerate(EXHAUSTIVE_ANGLES):
-        stat, p = stats.ks_2samp(gen_angles[:, i], train_angles[:, i])
-        sub_g = rng.choice(gen_angles[:, i], size=min(500, len(gen_angles)), replace=False)
-        sub_t = rng.choice(train_angles[:, i], size=min(500, len(train_angles)), replace=False)
-        _, p_sub = stats.ks_2samp(sub_g, sub_t)
-        ks[name] = {"stat": float(stat), "p": float(p), "p_subsampled": float(p_sub)}
+    from foldingdiff_tpu.metrics.kl import ks_feature_tests
+
+    ks = ks_feature_tests(gen_angles, train_angles, EXHAUSTIVE_ANGLES)
 
     # Structure-level metrics on generated backbones
     gen_dir = os.path.join(args.outdir, "generated_pdbs")

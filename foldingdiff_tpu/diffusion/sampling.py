@@ -228,6 +228,9 @@ def sample_simple(
     from foldingdiff_tpu.data.datasets import AnglesEmptyDataset
     from foldingdiff_tpu.models import io as model_io
 
+    # Resolve hub ids ONCE so the empty dataset below reads from the same
+    # local snapshot the model loads from (bin/sample.py does the same)
+    model_dir = model_io.resolve_model_dir(model_dir)
     model, params, constants, train_args = model_io.from_dir(model_dir)
     schedule = DiffusionSchedule.create(
         train_args["variance_schedule"], train_args["timesteps"]

@@ -84,3 +84,40 @@ def kl_from_dset(dset, seed: int = 0, max_rows: Optional[int] = 200_000) -> np.n
         for t in range(dset.timesteps)
     ]
     return np.array(out)
+
+
+def ks_feature_tests(
+    gen: np.ndarray,
+    ref: np.ndarray,
+    feature_names,
+    subsample: int = 500,
+    seed: int = 0,
+    alpha: float = 0.01,
+) -> dict:
+    """
+    Per-feature two-sample KS of generated vs reference values.
+
+    gen/ref: (N, F) arrays (rows pooled over structures/positions). For each
+    feature, reports the full-sample statistic and p-value plus a p-value on
+    a fixed-size subsample per side: at full N the KS test rejects on
+    trivially small distributional differences, so the subsampled p at
+    n=subsample is the decision gate. One shared generator draws the
+    subsamples in feature order (reproducible for a given seed).
+
+    Used by the synthetic e2e example and the flagship analysis -- one
+    implementation so the gate and the published metric cannot diverge.
+    """
+    rng = np.random.default_rng(seed)
+    out = {}
+    for i, name in enumerate(feature_names):
+        stat, p = stats.ks_2samp(gen[:, i], ref[:, i])
+        sub_g = rng.choice(gen[:, i], size=min(subsample, len(gen)), replace=False)
+        sub_r = rng.choice(ref[:, i], size=min(subsample, len(ref)), replace=False)
+        _, p_sub = stats.ks_2samp(sub_g, sub_r)
+        out[name] = {
+            "stat": float(stat),
+            "p": float(p),
+            "p_subsampled": float(p_sub),
+            f"reject_at_{alpha}_subsampled": bool(p_sub < alpha),
+        }
+    return out

@@ -107,28 +107,10 @@ def dssp_available() -> bool:
     return any(shutil.which(b) for b in ("mkdssp", "dssp"))
 
 
-def annotate_pdb_sse_dssp(fname: str) -> np.ndarray:
-    """
-    SS annotation via the external DSSP binary (the reference's optional
-    backend, bin/annot_secondary_structures.py:89-99): H/G/I -> 'a',
-    E/B -> 'b', else 'c'. Raises RuntimeError when no DSSP is installed --
-    P-SEA is the always-available default.
-    """
-    import shutil
-    import subprocess
-
-    binary = next((b for b in ("mkdssp", "dssp") if shutil.which(b)), None)
-    if binary is None:
-        raise RuntimeError(
-            "DSSP backend requested but no mkdssp/dssp binary on PATH; "
-            "use the native P-SEA backend instead"
-        )
-    proc = subprocess.run(
-        [binary, str(fname)], capture_output=True, text=True, check=True
-    )
+def _parse_dssp_text(stdout: str) -> np.ndarray:
     labels = []
     in_table = False
-    for line in proc.stdout.splitlines():
+    for line in stdout.splitlines():
         if line.startswith("  #  RESIDUE"):
             in_table = True
             continue
@@ -139,6 +121,39 @@ def annotate_pdb_sse_dssp(fname: str) -> np.ndarray:
         code = line[16]
         labels.append("a" if code in "HGI" else ("b" if code in "EB" else "c"))
     return np.asarray(labels, dtype="<U1")
+
+
+def annotate_pdb_sse_dssp(fname: str) -> np.ndarray:
+    """
+    SS annotation via the external DSSP binary (the reference's optional
+    backend, bin/annot_secondary_structures.py:89-99): H/G/I -> 'a',
+    E/B -> 'b', else 'c'. Raises RuntimeError when no DSSP is installed --
+    P-SEA is the always-available default. Per-file failures (malformed PDB,
+    non-zero exit) return an empty array so callers get the (-1, -1) sentinel
+    instead of aborting a whole parallel sweep.
+    """
+    import shutil
+    import subprocess
+
+    binary = next((b for b in ("mkdssp", "dssp") if shutil.which(b)), None)
+    if binary is None:
+        raise RuntimeError(
+            "DSSP backend requested but no mkdssp/dssp binary on PATH; "
+            "use the native P-SEA backend instead"
+        )
+    # DSSP 4.x (the modern mkdssp) defaults to mmCIF output; request the
+    # classic text format explicitly, falling back for 2.x/3.x binaries that
+    # predate the flag.
+    for args in (
+        [binary, "--output-format", "dssp", str(fname)],
+        [binary, str(fname)],
+    ):
+        proc = subprocess.run(args, capture_output=True, text=True, check=False)
+        if proc.returncode == 0:
+            return _parse_dssp_text(proc.stdout)
+        if "output-format" not in (proc.stderr or ""):
+            break  # real failure on this file, not an unknown-flag error
+    return np.asarray([], dtype="<U1")
 
 
 def count_structures_in_pdb(fname: str, backend: str = "psea") -> Tuple[int, int]:

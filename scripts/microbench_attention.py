@@ -82,13 +82,13 @@ def make_fn(variant: str, table, bias2d):
         def fn(q, k, v):
             pos = jnp.arange(L)
             dist_emb = table[pos[:, None] - pos[None, :] + m - 1]
-            return fused_attention(q, k, v, bias2d, dist_emb).transpose(0, 2, 1, 3)
+            return fused_attention(q, k, v, bias2d, dist_emb)  # (B,H,L,D)
 
     elif variant == "pallas_v2":
         from foldingdiff_tpu.ops.pallas_attention import fused_attention_v2
 
         def fn(q, k, v):
-            return fused_attention_v2(q, k, v, bias2d, rel_table=table, m=m).transpose(0, 2, 1, 3)
+            return fused_attention_v2(q, k, v, bias2d, rel_table=table, m=m)  # (B,H,L,D)
 
     else:
         raise ValueError(variant)

@@ -267,3 +267,90 @@ class TestSecondaryStructure:
         out = create_new_chain_nerf(str(tmp_path / "helix.pdb"), df)
         a, b = ss.count_structures_in_pdb(out)
         assert a == 1 and b == 0, (a, b)
+
+
+class TestDSSPBackend:
+    """The DSSP text parser and subprocess behavior, exercised with a fake
+    mkdssp binary on PATH (no real DSSP in CI)."""
+
+    DSSP_TEXT = "\n".join([
+        "==== Secondary Structure Definition by the program DSSP ====",
+        "  #  RESIDUE AA STRUCTURE BP1 BP2  ACC",
+        # columns: line[13]=aa, line[16]=SS code
+        "    1    1 A T  H  >  S+ ",
+        "    2    2 A H  H  X  S+ ",
+        "    3    3 A R  E     -A ",
+        "    4    4 A !* chain brk",
+        "    5    5 A K        + ",
+    ])
+
+    def test_parse_dssp_text(self):
+        labels = ss._parse_dssp_text(self.DSSP_TEXT)
+        # H,H -> a; E -> b; '!' row skipped; blank code -> c
+        assert list(labels) == ["a", "a", "b", "c"]
+
+    def _fake_dssp(self, tmp_path, script_body, monkeypatch):
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        fake = bindir / "mkdssp"
+        fake.write_text("#!/bin/sh\n" + script_body)
+        fake.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+
+    def test_dssp4_output_format_flag(self, tmp_path, monkeypatch):
+        """A DSSP-4-style binary (accepts --output-format) gets classic text
+        requested explicitly."""
+        body = (
+            'case "$1" in\n'
+            '--output-format) printf %s\\\\n "  #  RESIDUE AA" '
+            '"    1    1 A A  H " ;;\n'
+            "*) echo mmcif-garbage ;;\n"
+            "esac\n"
+        )
+        self._fake_dssp(tmp_path, body, monkeypatch)
+        labels = ss.annotate_pdb_sse_dssp("ignored.pdb")
+        assert list(labels) == ["a"]
+
+    def test_dssp_legacy_fallback(self, tmp_path, monkeypatch):
+        """A DSSP-2/3-style binary rejects --output-format; the wrapper falls
+        back to the plain invocation."""
+        body = (
+            'case "$1" in\n'
+            '--output-format) echo "unrecognized option \'--output-format\'" >&2; exit 1 ;;\n'
+            '*) printf %s\\\\n "  #  RESIDUE AA" "    1    1 A A  E " ;;\n'
+            "esac\n"
+        )
+        self._fake_dssp(tmp_path, body, monkeypatch)
+        labels = ss.annotate_pdb_sse_dssp("ignored.pdb")
+        assert list(labels) == ["b"]
+
+    def test_dssp_failure_gives_sentinel_not_crash(self, tmp_path, monkeypatch):
+        """One malformed PDB must produce the (-1, -1) sentinel (reference
+        failure convention), not abort a parallel sweep."""
+        self._fake_dssp(tmp_path, "echo broken >&2; exit 1\n", monkeypatch)
+        pdb = tmp_path / "bad.pdb"
+        pdb.write_text("not a pdb\n")
+        assert ss.count_structures_in_pdb(str(pdb), backend="dssp") == (-1, -1)
+
+
+class TestKSFeatureTests:
+    def test_matched_vs_shifted(self):
+        from foldingdiff_tpu.metrics.kl import ks_feature_tests
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(5000, 2))
+        b = np.concatenate([rng.normal(size=(5000, 1)),
+                            rng.normal(loc=1.5, size=(5000, 1))], axis=1)
+        ks = ks_feature_tests(a, b, ["same", "shifted"])
+        assert ks["same"]["p_subsampled"] > 0.01
+        assert not ks["same"]["reject_at_0.01_subsampled"]
+        assert ks["shifted"]["p_subsampled"] < 0.01
+        assert ks["shifted"]["reject_at_0.01_subsampled"]
+        assert ks["shifted"]["stat"] > ks["same"]["stat"]
+
+    def test_reproducible(self):
+        from foldingdiff_tpu.metrics.kl import ks_feature_tests
+
+        rng = np.random.default_rng(1)
+        a, b = rng.normal(size=(2000, 3)), rng.normal(size=(2000, 3))
+        assert ks_feature_tests(a, b, list("xyz")) == ks_feature_tests(a, b, list("xyz"))
