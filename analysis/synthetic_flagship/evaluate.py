@@ -33,7 +33,19 @@ def main():
     parser.add_argument("--n-pdb", type=int, default=128,
                         help="how many sampled structures to write as PDBs for "
                         "structural stats")
+    parser.add_argument("--method", choices=["ddpm", "ddim"], default="ddpm",
+                        help="ddpm = reference-parity ancestral sampling; ddim "
+                        "= the accelerated sampler (quality evidence for the "
+                        "DDIM speedup)")
+    parser.add_argument("--ddim-steps", type=int, default=50)
+    parser.add_argument("--ddim-eta", type=float, default=0.0)
     args = parser.parse_args()
+    # DDIM results go to suffixed artifacts so the reference-parity DDPM
+    # artifacts are never clobbered
+    suffix = "" if args.method == "ddpm" else (
+        f"_{args.method}{args.ddim_steps}"
+        + (f"_eta{args.ddim_eta:g}" if args.ddim_eta else "")
+    )
 
     import pandas as pd
 
@@ -59,6 +71,7 @@ def main():
         is_angular=[True] * 6, pad=int(train_args["max_seq_len"]),
         n=args.n, sweep_lengths=(50, 128), batch_size=args.batch,
         mean_offset=mean_offset, seed=31,
+        method=args.method, ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
     )
     sample_sec = time.time() - t0
     print(f"sampled {len(sampled)} structures in {sample_sec:.1f}s")
@@ -82,12 +95,12 @@ def main():
     from foldingdiff_tpu.metrics.kl import ks_feature_tests
 
     ks = ks_feature_tests(gen_angles, test_angles, EXHAUSTIVE_ANGLES)
-    with open(os.path.join(HERE, "ks_tests.json"), "w") as f:
+    with open(os.path.join(HERE, f"ks_tests{suffix}.json"), "w") as f:
         json.dump(ks, f, indent=2)
     print(json.dumps(ks, indent=2))
 
     # Structural stats on a subset written to PDB
-    gen_dir = os.path.join(args.results, "sampled_pdb")
+    gen_dir = os.path.join(args.results, f"sampled_pdb{suffix}")
     os.makedirs(gen_dir, exist_ok=True)
     ss_counts, clash_counts = [], []
     for i, s in enumerate(sampled[: args.n_pdb]):
@@ -120,9 +133,11 @@ def main():
             "samples_per_sec": n_train / med_epoch_s,  # true examples/epoch, tail batch partial
         },
         "sampling": {
+            "method": args.method + ("" if args.method == "ddpm" else f"-{args.ddim_steps}"),
             "n_structures": len(sampled),
-            "wall_clock_sec": sample_sec,
-            "backbones_per_sec": len(sampled) / sample_sec,
+            # Includes jit compiles of every chunk shape (this script builds a
+            # fresh sampler); bench.py is the steady-state throughput number.
+            "wall_clock_sec_incl_compile": sample_sec,
         },
         "ks_max_stat": max(v["stat"] for v in ks.values()),
         "ks_rejects_at_0.01_subsampled": sum(
@@ -136,7 +151,7 @@ def main():
             "mean_clashes": float(np.mean(clash_counts)),
         },
     }
-    with open(os.path.join(HERE, "report.json"), "w") as f:
+    with open(os.path.join(HERE, f"report{suffix}.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
 

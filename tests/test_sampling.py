@@ -306,3 +306,36 @@ class TestSampleSimpleReproducibility:
         a = samp.sample_simple(self.MODEL_DIR, n=1, sweep_lengths=(20, 21), seed=5)
         b = samp.sample_simple(self.MODEL_DIR, n=1, sweep_lengths=(20, 21), seed=6)
         assert not np.allclose(a[0].to_numpy(), b[0].to_numpy())
+
+
+class TestDDIMClip(_TinyModelMixin):
+    def test_clip_x0_bounds_the_inversion(self):
+        """With an adversarial eps model the unclipped x0 inversion explodes
+        (1/sqrt(abar_T) amplification); clip_x0 keeps the trajectory on the
+        angular manifold. This is the failure mode that made unclipped
+        DDIM-50 produce unstructured chains on the flagship model."""
+        from foldingdiff_tpu.diffusion.sampling import ddim_sample_loop
+
+        sched = DiffusionSchedule.create("cosine", 1000)
+        noise = sample_wrapped_noise(jax.random.PRNGKey(0), (2, 16, 6), IS_ANGULAR)
+        mask = jnp.ones((2, 16))
+
+        def bad_model_fn(x, t, m):
+            # consistently wrong eps: pushes x0_pred far out of [-pi, pi]
+            return jnp.full_like(x, 2.0)
+
+        clipped = np.asarray(
+            ddim_sample_loop(bad_model_fn, noise, jax.random.PRNGKey(1), mask,
+                             sched, IS_ANGULAR, n_steps=50)
+        )
+        # all-angular features: every intermediate and final value wrapped
+        assert np.abs(clipped).max() <= np.pi + 1e-6
+        assert np.isfinite(clipped).all()
+
+        un = np.asarray(
+            ddim_sample_loop(bad_model_fn, noise, jax.random.PRNGKey(1), mask,
+                             sched, IS_ANGULAR, n_steps=50, clip_x0=False)
+        )
+        # without the clamp the angular wrap still bounds the FINAL state, but
+        # the trajectories diverge -- the clamp changes the dynamics
+        assert not np.allclose(clipped, un)
