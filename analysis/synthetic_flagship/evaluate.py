@@ -140,8 +140,8 @@ def main():
             "wall_clock_sec_incl_compile": sample_sec,
         },
         "ks_max_stat": max(v["stat"] for v in ks.values()),
-        "ks_rejects_at_0.01_subsampled": sum(
-            v["reject_at_0.01_subsampled"] for v in ks.values()
+        "ks_rejects_subsampled": sum(
+            v["reject_subsampled"] for v in ks.values()
         ),
         "structures": {
             "n_scored": len(ss_counts),

@@ -62,6 +62,13 @@ def main():
         min_length=train_args.get("min_seq_len", 0),
         trim_strategy=train_args.get("trim_strategy", "leftalign"),
     )
+    # Seeds must be centered with the TRAINING mean offset (the space the
+    # model was trained in), not this split's own mean; outputs are
+    # un-shifted by the same offset below
+    offset_file = os.path.join(args.model, "training_mean_offset.npy")
+    mean_offset = np.load(offset_file) if os.path.isfile(offset_file) else None
+    if mean_offset is not None:
+        ds.set_masked_means(mean_offset)
     rng = np.random.default_rng(args.seed)
     pad = train_args["max_seq_len"]
     num_seed = args.numseed
@@ -85,7 +92,10 @@ def main():
     from foldingdiff_tpu.utils import modulo_with_wrapped_range
 
     for i, l in enumerate(lengths):
-        angles = modulo_with_wrapped_range(out[i, : int(l)])
+        angles = out[i, : int(l)]
+        if mean_offset is not None:
+            angles = angles + np.asarray(mean_offset)
+        angles = modulo_with_wrapped_range(angles)
         df = pd.DataFrame(angles, columns=ft_names)
         df.to_csv(os.path.join(angles_dir, f"ar_generated_{i}.csv.gz"), index=False)
         create_new_chain_nerf(os.path.join(pdb_dir, f"ar_generated_{i}.pdb"), df)

@@ -123,7 +123,9 @@ def main():
             pd.DataFrame(s, columns=EXHAUSTIVE_ANGLES),
         )
         if out:
-            ss_counts.append(count_structures_in_pdb(out))
+            ss = count_structures_in_pdb(out)
+            if ss != (-1, -1):  # annotation-failure sentinel
+                ss_counts.append(ss)
             clash_counts.append(count_clashes(out))
 
     alpha = [a for a, _ in ss_counts]

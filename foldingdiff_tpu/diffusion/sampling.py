@@ -117,11 +117,17 @@ def build_sampler(
 
     gen_noise=False: signature (noise, attn_mask, key) -- caller provides x_T
     (used by partial-noise reconstruction).
-    gen_noise=True: signature (attn_mask, seed, chunk_i) with int32 scalars --
-    the PRNG keys AND x_T are derived INSIDE jit, so a sample() chunk is
-    exactly one device execution with zero eager host-side ops (each eager op
-    through a remote-dispatch tunnel costs a round-trip; per-chunk fold_in/
-    split/asarray used to dominate contended runs).
+    gen_noise=True: signature (attn_mask, seed_lo, seed_hi, chunk_i) with
+    uint32 scalars (the two halves of a 64-bit seed) -- the PRNG keys AND x_T
+    are derived INSIDE jit, so a sample() chunk is exactly one device
+    execution with zero eager host-side ops (each eager op through a
+    remote-dispatch tunnel costs a round-trip; per-chunk fold_in/split/asarray
+    used to dominate contended runs).
+
+    NOTE (seed compatibility): since the 64-bit-seed change, the master key is
+    fold_in(PRNGKey(seed_lo), seed_hi). For pre-existing 32-bit seeds this
+    replaces the previous fold_in(seed, 0) derivation, so seed->sample
+    mappings differ from releases before the flagship rerun.
     """
     variables = {"params": params, "constants": constants}
 

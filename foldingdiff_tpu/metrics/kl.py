@@ -118,6 +118,10 @@ def ks_feature_tests(
             "stat": float(stat),
             "p": float(p),
             "p_subsampled": float(p_sub),
-            f"reject_at_{alpha}_subsampled": bool(p_sub < alpha),
+            "alpha": float(alpha),
+            # Fixed key regardless of alpha, so consumers don't have to
+            # reconstruct an alpha-embedding string (the alpha used is in the
+            # "alpha" field)
+            "reject_subsampled": bool(p_sub < alpha),
         }
     return out

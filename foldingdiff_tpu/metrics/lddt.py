@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 from collections import defaultdict
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
@@ -182,16 +183,33 @@ def lddt_pdb(query, ref, atoms: Sequence[str] = BACKBONE_ATOM_NAMES) -> float:
 def lddt_sampled_folded(
     sampled_dir, folded_dir, out_path: str = "lddt.json",
     atoms: Sequence[str] = BACKBONE_ATOM_NAMES,
+    threads: int = 0,
 ) -> dict:
     """For each sampled structure, lDDT against each of its folded structures
-    (reference lddt.py:59-100). Writes and returns the score dict."""
+    (reference lddt.py:59-100, incl. its mp.Pool fan-out lddt.py:82-89).
+    Writes and returns the score dict. threads=0 uses all cores (serial on a
+    1-core host)."""
     sampled_dir, folded_dir = Path(sampled_dir), Path(folded_dir)
     sampled_pdbs = sorted(sampled_dir.glob("*.pdb"))
     logging.info(f"Found {len(sampled_pdbs)} sampled structures in {sampled_dir}")
+    pairs = [
+        (s, folded)
+        for s in sampled_pdbs
+        for folded in sorted(folded_dir.glob(f"{s.stem}_*.pdb"))
+    ]
+    threads = threads or (os.cpu_count() or 1)
+    if threads > 1 and len(pairs) > 4:
+        import multiprocessing as mp
+
+        with mp.Pool(threads) as pool:
+            scores = pool.starmap(
+                lddt_pdb, [(f, s, atoms) for s, f in pairs], chunksize=4
+            )
+    else:
+        scores = [lddt_pdb(f, s, atoms=atoms) for s, f in pairs]
     out_dict = defaultdict(dict)
-    for s in sampled_pdbs:
-        for folded in sorted(folded_dir.glob(f"{s.stem}_*.pdb")):
-            out_dict[s.stem][folded.stem] = lddt_pdb(folded, s, atoms=atoms)
+    for (s, folded), score in zip(pairs, scores):
+        out_dict[s.stem][folded.stem] = score
     with open(out_path, "w") as sink:
         json.dump(out_dict, sink, indent=4)
     return dict(out_dict)

@@ -150,7 +150,14 @@ def annotate_pdb_sse_dssp(fname: str) -> np.ndarray:
     ):
         proc = subprocess.run(args, capture_output=True, text=True, check=False)
         if proc.returncode == 0:
-            return _parse_dssp_text(proc.stdout)
+            parsed = _parse_dssp_text(proc.stdout)
+            if parsed.size > 0:
+                return parsed
+            # A legacy binary may exit 0 while printing usage for the unknown
+            # flag (or write the error to stdout): an empty table from the
+            # flagged invocation means "flag not understood", not "no SS" --
+            # fall through to the plain invocation before giving up.
+            continue
         if "output-format" not in (proc.stderr or ""):
             break  # real failure on this file, not an unknown-flag error
     return np.asarray([], dtype="<U1")

@@ -103,6 +103,12 @@ class ARTrainer:
         host_rng = np.random.default_rng(cfg.seed)
         rows: List[Dict[str, float]] = []
         best: List[Tuple[float, int, str]] = []
+        if results_dir is not None:
+            import os
+
+            stale = os.path.join(results_dir, "logs", "metrics.csv")
+            if os.path.exists(stale):
+                os.remove(stale)
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             tl = []
@@ -117,8 +123,13 @@ class ARTrainer:
                     batch = dict(zip(batch.keys(), shard_batch(self.mesh, *batch.values())))
                 key, sk = jax.random.split(key)
                 state, loss = self._train_step(state, batch, sk)
-                tl.append(float(loss))
-            train_loss = float(np.mean(tl)) if tl else np.nan
+                tl.append(loss)
+            # Fetch per-step losses ONCE at epoch end: a float() per step is a
+            # blocking host round-trip that serializes the step pipeline
+            # (seconds each through a remote-dispatch tunnel) -- same pattern
+            # as the diffusion Trainer.fit
+            tl = jax.device_get(tl)
+            train_loss = float(np.mean(tl)) if len(tl) else np.nan
 
             val_loss = np.nan
             if valid_data is not None:
@@ -127,8 +138,9 @@ class ARTrainer:
                 for start in range(0, max(nv - cfg.batch_size + 1, 1), cfg.batch_size):
                     batch = {k: valid_data[k][start : start + cfg.batch_size] for k in ("angles", "attn_mask", "lengths")}
                     key, sk = jax.random.split(key)
-                    vl.append(float(self._eval_step(state.params, state.constants, batch, sk)))
-                val_loss = float(np.mean(vl)) if vl else np.nan
+                    vl.append(self._eval_step(state.params, state.constants, batch, sk))
+                vl = jax.device_get(vl)
+                val_loss = float(np.mean(vl)) if len(vl) else np.nan
 
             rows.append({
                 "epoch": epoch, "step": int(state.step), "train_loss": train_loss,
@@ -136,6 +148,19 @@ class ARTrainer:
             })
             if log_every and epoch % log_every == 0:
                 logging.info(f"AR epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
+            if results_dir is not None:
+                # Append-mode metrics CSV (one header, O(1) I/O per epoch)
+                import csv
+                import os
+
+                os.makedirs(os.path.join(results_dir, "logs"), exist_ok=True)
+                out = os.path.join(results_dir, "logs", "metrics.csv")
+                header = not os.path.exists(out) or os.path.getsize(out) == 0
+                with open(out, "a", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=list(rows[-1].keys()))
+                    if header:
+                        w.writeheader()
+                    w.writerow(rows[-1])
             if results_dir is not None and model_config is not None:
                 metric = val_loss if valid_data is not None else train_loss
                 if not np.isnan(metric) and (len(best) < 5 or metric < max(b[0] for b in best)):

@@ -34,9 +34,11 @@ def get_train_valid_test_sets(
     train_only: bool = False,
     cache_dir: Optional[str] = None,
     n_workers: Optional[int] = None,
+    zero_center: bool = True,
 ) -> Tuple:
     """Clean split datasets with the train-split mean shared to valid/test
-    (reference bin/train.py:111-163)."""
+    (reference bin/train.py:111-163). zero_center=False skips the wrapped-mean
+    centering (cart-coords never centers regardless)."""
     clean_cls = dsets.DATASET_CLASSES[angles_definitions]
     splits = ["train"] if train_only else ["train", "validation", "test"]
     clean = [
@@ -46,7 +48,7 @@ def get_train_valid_test_sets(
             pad=max_seq_len,
             min_length=min_seq_len,
             trim_strategy=seq_trim_strategy,
-            zero_center=angles_definitions != "cart-coords",
+            zero_center=zero_center and angles_definitions != "cart-coords",
             toy=toy,
             cache_dir=cache_dir,
             n_workers=n_workers,
@@ -131,7 +133,14 @@ def train(
     """Main training entry, mirroring reference bin/train.py:287-507."""
     func_args = dict(locals())
     results_folder = Path(results_dir)
-    record_args_and_metadata(func_args, results_folder)
+    # Under multi-host (jax.distributed), only process 0 writes artifacts
+    # (reference rank-0-only record_args_and_metadata, bin/train.py:255-284);
+    # all processes still execute the same SPMD compute
+    from foldingdiff_tpu.parallel.multihost import is_primary
+
+    primary = is_primary()
+    if primary:
+        record_args_and_metadata(func_args, results_folder)
 
     t0 = time.time()
     train_ds, valid_ds, test_ds = get_train_valid_test_sets(
@@ -142,16 +151,18 @@ def train(
         seq_trim_strategy=trim_strategy,
         toy=subset,
         n_workers=None if multithread else 1,
+        zero_center=zero_center,
     )
     logging.info(f"Featurization took {time.time() - t0:.1f}s")
 
     mean_offset = train_ds.get_masked_means()
-    if mean_offset is not None:
-        np.save(results_folder / "training_mean_offset.npy", mean_offset)
-    for name, ds in zip(["train", "valid", "test"], [train_ds, valid_ds, test_ds]):
-        if ds is not None:
-            with open(results_folder / f"{name}_files.txt", "w") as f:
-                f.write("\n".join(ds.filenames))
+    if primary:
+        if mean_offset is not None:
+            np.save(results_folder / "training_mean_offset.npy", mean_offset)
+        for name, ds in zip(["train", "valid", "test"], [train_ds, valid_ds, test_ds]):
+            if ds is not None:
+                with open(results_folder / f"{name}_files.txt", "w") as f:
+                    f.write("\n".join(ds.filenames))
 
     ft_key = "coords" if angles_definitions == "cart-coords" else "angles"
 
@@ -236,7 +247,7 @@ def train(
 
     # Pre-training diagnostics: KL(noised || noise) over timesteps and the
     # per-timestep distributions (reference bin/train.py:395-410)
-    if not dryrun:
+    if not dryrun and primary:
         try:
             from foldingdiff_tpu.data.datasets import NoisedAnglesDataset
             from foldingdiff_tpu.metrics.kl import kl_from_dset
@@ -324,9 +335,10 @@ def train(
         resume=resume,
         save_state_every=save_state_every,
         write_preds_to_dir=str(results_folder / "valid_preds") if write_valid_preds else None,
+        exhaustive_t_validation=exhaustive_validation_t,
     )
 
-    if not dryrun:
+    if not dryrun and primary:
         try:
             from foldingdiff_tpu.metrics.plotting import plot_losses
 

@@ -182,6 +182,15 @@ class Trainer:
         # these on first use via hasattr hid per-instance recompiles
         self._train_step_pre = jax.jit(self._step_precorrupted_impl, donate_argnums=(0,))
         self._eval_at_t = jax.jit(self._eval_at_t_impl)
+        # SWA running average stays ON DEVICE: one jitted dispatch per epoch
+        # instead of a full-params device_get (a seconds-scale round-trip on a
+        # remote-dispatch TPU). The output is a fresh buffer, so it never
+        # aliases params that the donating train step invalidates.
+        self._swa_update = jax.jit(
+            lambda avg, new, cnt: jax.tree.map(lambda a, n: a + (n - a) / cnt, avg, new),
+            donate_argnums=(0,),
+        )
+        self._csv_rows_flushed = 0
 
     def init_state(self, key: jax.Array, pad: int) -> TrainState:
         variables = model_io.init_model_variables(self.model, key, pad=pad)
@@ -309,10 +318,12 @@ class Trainer:
     ) -> np.ndarray:
         """Low-variance validation: per-feature losses averaged over a
         stratified grid of timesteps (the reference's exhaustive_t validation
-        mode, datasets.py:812-825, without the len*T dataset blowup)."""
+        mode, datasets.py:812-825, without the len*T dataset blowup). Batches
+        are weighted by their unmasked-position count so the ragged tail batch
+        doesn't carry equal weight."""
         ts = np.linspace(0, self.schedule.timesteps - 1, num=n_t).astype(np.int32)
         key = jax.random.PRNGKey(seed)
-        all_terms = []
+        all_terms, weights = [], []
         bs = self.cfg.batch_size
         n = data["angles"].shape[0]
         for t in ts:
@@ -323,7 +334,8 @@ class Trainer:
                 all_terms.append(np.asarray(self._eval_at_t(
                     state.params, state.constants, batch, jnp.asarray(int(t)), sk
                 )))
-        return np.mean(np.stack(all_terms), axis=0)
+                weights.append(float(np.sum(data["attn_mask"][start : start + bs])))
+        return np.average(np.stack(all_terms), axis=0, weights=weights)
 
     def _eval_at_t_impl(self, params, constants, batch, t_scalar, rng):
         x0 = batch["angles"]
@@ -360,6 +372,9 @@ class Trainer:
 
     # -- epoch loops ---------------------------------------------------------
     def _batches(self, data: Dict[str, np.ndarray], rng: np.random.Generator, shuffle: bool):
+        """Yields (batch, weight) where weight is the unmasked-position count,
+        computed host-side BEFORE any mesh sharding (so it costs no device
+        round-trip and ignores zero-padded rows)."""
         n = data["angles"].shape[0]
         idx = rng.permutation(n) if shuffle else np.arange(n)
         bs = self.cfg.batch_size
@@ -373,6 +388,7 @@ class Trainer:
                 "attn_mask": data["attn_mask"][sel],
                 "lengths": data["lengths"][sel],
             }
+            weight = float(np.sum(batch["attn_mask"]))
             if self.mesh is not None:
                 from foldingdiff_tpu.parallel.mesh import shard_batch
 
@@ -382,7 +398,7 @@ class Trainer:
                         shard_batch(self.mesh, *batch.values()),
                     )
                 )
-            yield batch
+            yield batch, weight
 
     def fit(
         self,
@@ -398,11 +414,17 @@ class Trainer:
         save_state_every: int = 0,
         write_preds_to_dir: Optional[str] = None,
         handle_preemption: bool = True,
+        exhaustive_t_validation: bool = False,
     ) -> Tuple[TrainState, List[Dict[str, float]]]:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
         host_rng = np.random.default_rng(cfg.seed)
         metrics_rows: List[Dict[str, float]] = []
+        # Multi-host: every process runs the same SPMD compute (metric values
+        # are replicated, so early-stop/top-k decisions stay consistent), but
+        # only process 0 WRITES artifacts (reference rank-0 logging,
+        # modelling.py:744-749). Reads (resume) happen on all processes.
+        primary = jax.process_index() == 0
 
         # Preemption handling (absent in the reference, SURVEY.md section 5):
         # on SIGTERM/SIGINT finish the current step, checkpoint the full train
@@ -428,6 +450,14 @@ class Trainer:
             if ckpt is not None:
                 state, start_epoch = restore_train_state(ckpt, state)
                 logging.info(f"Resumed train state from {ckpt} at epoch {start_epoch}")
+        # metrics.csv is APPENDED to per epoch (O(1) host I/O per epoch, not
+        # O(epochs)): a resumed run continues the existing file; a fresh run
+        # into a reused results_dir truncates it first.
+        self._csv_rows_flushed = 0
+        if primary and results_dir is not None and start_epoch == 0:
+            stale = os.path.join(results_dir, "logs", "metrics.csv")
+            if os.path.exists(stale):
+                os.remove(stale)
         pseudo_names = list(self.ft_names)
         if (isinstance(cfg.use_pdist_loss, (list, tuple)) and cfg.use_pdist_loss[0] > 0) or (
             not isinstance(cfg.use_pdist_loss, (list, tuple)) and cfg.use_pdist_loss > 0
@@ -449,7 +479,7 @@ class Trainer:
             # round-trip (seconds each through a remote-dispatch tunnel) that
             # serializes the step pipeline.
             train_losses = []
-            for batch in self._batches(train_data, host_rng, shuffle=True):
+            for batch, _ in self._batches(train_data, host_rng, shuffle=True):
                 key, step_key = jax.random.split(key)
                 state, avg, terms = self._train_step(state, batch, step_key)
                 train_losses.append((avg, terms))
@@ -464,17 +494,32 @@ class Trainer:
             )
 
             val_loss, val_terms = np.nan, np.full(len(pseudo_names), np.nan)
-            if valid_data is not None:
-                vlosses = []
+            if valid_data is not None and exhaustive_t_validation:
+                # Reference exhaustive-t validation (bin/train.py:329,358;
+                # datasets.py:812-825): losses over a stratified timestep grid
+                # instead of one random t per item -- much lower variance, so
+                # top-k-by-val selection stops chasing sampling noise. Seeded
+                # per epoch so repeated runs are reproducible.
+                ex_terms = self.eval_exhaustive_t(
+                    state, valid_data, seed=cfg.seed + epoch
+                )
+                val_terms[: len(ex_terms)] = ex_terms
+                val_loss = float(np.mean(ex_terms))
+            elif valid_data is not None:
+                vlosses, vweights = [], []
                 first_val = None
-                for bi, batch in enumerate(self._batches(valid_data, host_rng, shuffle=False)):
+                for bi, (batch, w) in enumerate(self._batches(valid_data, host_rng, shuffle=False)):
                     key, step_key = jax.random.split(key)
                     vlosses.append(self._eval_step(state.params, state.constants, batch, step_key))
-                    if write_preds_to_dir and bi == 0:
+                    vweights.append(w)
+                    if primary and write_preds_to_dir and bi == 0:
                         first_val = (batch, step_key)
                 vlosses = jax.device_get(vlosses)
                 if vlosses:
-                    val_terms = np.mean(np.stack(vlosses), axis=0)
+                    # Weight by each batch's unmasked-position count: the
+                    # ragged tail batch must not carry equal weight (it would
+                    # bias val_loss and thus top-k checkpoint selection)
+                    val_terms = np.average(np.stack(vlosses), axis=0, weights=vweights)
                     val_loss = float(np.mean(val_terms))
                 if first_val is not None:
                     self._write_val_preds(
@@ -494,7 +539,7 @@ class Trainer:
                     f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} ({row['epoch_seconds']:.1f}s)"
                 )
 
-            if results_dir is not None and model_config is not None:
+            if primary and results_dir is not None and model_config is not None:
                 self._write_metrics_csv(results_dir, metrics_rows)
                 # Fetch params to host ONLY when a metric actually enters a
                 # top-k set: the full-params device_get is a seconds-scale
@@ -519,25 +564,24 @@ class Trainer:
                         )
 
             if cfg.use_swa and epoch >= swa_start:
-                p = jax.device_get(state.params)
+                # Running average kept on device; avg + (new - avg)/1 == new,
+                # so seeding with zeros gives the exact first-epoch value
                 if swa_params is None:
-                    swa_params, swa_count = p, 1
-                else:
-                    swa_count += 1
-                    swa_params = jax.tree.map(
-                        lambda avg, new: avg + (new - avg) / swa_count, swa_params, p
-                    )
+                    swa_params = jax.tree.map(jnp.zeros_like, state.params)
+                swa_count += 1
+                swa_params = self._swa_update(swa_params, state.params, float(swa_count))
 
-            if results_dir is not None and save_state_every and (epoch + 1) % save_state_every == 0:
+            if primary and results_dir is not None and save_state_every and (epoch + 1) % save_state_every == 0:
                 from foldingdiff_tpu.training.checkpoint import save_train_state
 
                 save_train_state(results_dir, state, epoch)
 
             if preempted["flag"]:
-                from foldingdiff_tpu.training.checkpoint import save_train_state
+                if primary:
+                    from foldingdiff_tpu.training.checkpoint import save_train_state
 
-                path = save_train_state(results_dir, state, epoch)
-                logging.warning(f"Preemption checkpoint written to {path}; stopping")
+                    path = save_train_state(results_dir, state, epoch)
+                    logging.warning(f"Preemption checkpoint written to {path}; stopping")
                 break
 
             # Early stopping on val loss (reference EarlyStopping callback)
@@ -551,10 +595,10 @@ class Trainer:
                     logging.info(f"Early stopping at epoch {epoch}")
                     break
 
-        if cfg.use_swa and swa_params is not None and results_dir is not None and model_config is not None:
+        if primary and cfg.use_swa and swa_params is not None and results_dir is not None and model_config is not None:
             logging.info(f"Saving SWA weights averaged over {swa_count} epochs")
             model_io.save_model_dir(
-                results_dir, model_config, swa_params, jax.device_get(state.constants),
+                results_dir, model_config, jax.device_get(swa_params), jax.device_get(state.constants),
                 train_args or {}, mean_offset=mean_offset, epoch=cfg.max_epochs,
                 best_by="swa", keep_top_k=1,
             )
@@ -610,13 +654,19 @@ class Trainer:
         with open(os.path.join(out_dir, f"{epoch}_preds.json"), "w") as f:
             _json.dump(payload, f)
 
-    @staticmethod
-    def _write_metrics_csv(results_dir: str, rows: List[Dict[str, float]]):
+    def _write_metrics_csv(self, results_dir: str, rows: List[Dict[str, float]]):
+        """Append rows not yet flushed (O(1) host I/O per epoch; rewriting the
+        whole file every epoch was O(epochs^2) on a host that also feeds the
+        TPU tunnel). A resumed run appends to the previous session's file."""
         os.makedirs(os.path.join(results_dir, "logs"), exist_ok=True)
         out = os.path.join(results_dir, "logs", "metrics.csv")
-        if not rows:
+        new_rows = rows[self._csv_rows_flushed:]
+        if not new_rows:
             return
-        with open(out, "w", newline="") as f:
+        write_header = not os.path.exists(out) or os.path.getsize(out) == 0
+        with open(out, "a", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-            writer.writeheader()
-            writer.writerows(rows)
+            if write_header:
+                writer.writeheader()
+            writer.writerows(new_rows)
+        self._csv_rows_flushed = len(rows)

@@ -324,6 +324,20 @@ class TestDSSPBackend:
         labels = ss.annotate_pdb_sse_dssp("ignored.pdb")
         assert list(labels) == ["b"]
 
+    def test_dssp_legacy_exit0_usage_fallback(self, tmp_path, monkeypatch):
+        """A legacy binary that exits 0 while printing usage for the unknown
+        flag (no parsable table) must still fall back to the plain
+        invocation instead of silently returning the empty array."""
+        body = (
+            'case "$1" in\n'
+            '--output-format) echo "Usage: dssp [input] [output]" ;;\n'
+            '*) printf %s\\\\n "  #  RESIDUE AA" "    1    1 A A  E " ;;\n'
+            "esac\n"
+        )
+        self._fake_dssp(tmp_path, body, monkeypatch)
+        labels = ss.annotate_pdb_sse_dssp("ignored.pdb")
+        assert list(labels) == ["b"]
+
     def test_dssp_failure_gives_sentinel_not_crash(self, tmp_path, monkeypatch):
         """One malformed PDB must produce the (-1, -1) sentinel (reference
         failure convention), not abort a parallel sweep."""
@@ -343,9 +357,9 @@ class TestKSFeatureTests:
                             rng.normal(loc=1.5, size=(5000, 1))], axis=1)
         ks = ks_feature_tests(a, b, ["same", "shifted"])
         assert ks["same"]["p_subsampled"] > 0.01
-        assert not ks["same"]["reject_at_0.01_subsampled"]
+        assert not ks["same"]["reject_subsampled"]
         assert ks["shifted"]["p_subsampled"] < 0.01
-        assert ks["shifted"]["reject_at_0.01_subsampled"]
+        assert ks["shifted"]["reject_subsampled"]
         assert ks["shifted"]["stat"] > ks["same"]["stat"]
 
     def test_reproducible(self):

@@ -253,3 +253,153 @@ def test_ragged_tail_training_under_mesh(train_setup):
     state = trainer.init_state(jax.random.PRNGKey(0), pad=48)
     state, rows = trainer.fit(state, data)
     assert np.isfinite(rows[0]["train_loss"])
+
+
+def test_val_loss_weighted_by_mask_sum():
+    """The ragged validation tail batch must be weighted by its
+    unmasked-position count, not counted as a full batch (an unweighted
+    per-batch mean biases val_loss and thus top-k checkpoint selection)."""
+    import jax.numpy as jnp
+
+    sched = DiffusionSchedule.create("cosine", 25)
+    tcfg = TrainConfig(lr=1e-4, batch_size=4, max_epochs=1, lr_scheduler=None, seed=0)
+    model = BertForDiffusion(CONFIG)
+    trainer = Trainer(model, sched, tcfg, steps_per_epoch=1)
+    rng = np.random.default_rng(0)
+    data = {
+        "angles": rng.uniform(-np.pi, np.pi, (6, 8, 6)).astype(np.float32),
+        "attn_mask": np.ones((6, 8), np.float32),
+        "lengths": np.full((6,), 8, np.int64),
+    }
+    # Stub the steps: train is a no-op; eval returns the batch size as every
+    # feature loss, so the weighted mean is analytically checkable
+    trainer._train_step = lambda state, batch, key: (
+        state, jnp.asarray(0.0), jnp.zeros(6)
+    )
+    trainer._eval_step = lambda p, c, batch, k: jnp.full(
+        (6,), float(batch["angles"].shape[0])
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), pad=8)
+    _, rows = trainer.fit(state, data, valid_data=data)
+    # Batches of 4 and 2 items (all positions unmasked): weights 32 and 16
+    expected = (4.0 * 32 + 2.0 * 16) / 48
+    assert abs(rows[0]["val_loss"] - expected) < 1e-6, rows[0]["val_loss"]
+    # The old unweighted mean would give 3.0
+    assert abs(rows[0]["val_loss"] - 3.0) > 0.2
+
+
+def test_exhaustive_t_validation_flag_changes_behavior(train_setup):
+    """fit(exhaustive_t_validation=True) must route validation through the
+    stratified-t evaluator: deterministic across runs, different from the
+    random-t path (reference bin/train.py:329,358)."""
+    ds = train_setup
+    data = {k: v[:8] for k, v in ds.to_arrays().items()}
+    sched = DiffusionSchedule.create("cosine", 25)
+
+    def run(exhaustive, seed=0):
+        tcfg = TrainConfig(lr=1e-4, batch_size=8, max_epochs=1, lr_scheduler=None, seed=seed)
+        model = BertForDiffusion(CONFIG)
+        trainer = Trainer(model, sched, tcfg, steps_per_epoch=1)
+        state = trainer.init_state(jax.random.PRNGKey(0), pad=48)
+        _, rows = trainer.fit(
+            state, data, valid_data=data, exhaustive_t_validation=exhaustive
+        )
+        return rows[0]["val_loss"]
+
+    a = run(True)
+    b = run(True)
+    c = run(False)
+    assert np.isfinite(a)
+    assert a == b, "exhaustive-t validation must be deterministic"
+    assert a != c, "flag must actually change the validation computation"
+
+
+def test_metrics_csv_append_mode(tmp_path):
+    """metrics.csv is appended per epoch (one header, no O(epochs^2)
+    rewrites), and a fresh run truncates a stale file."""
+    sched = DiffusionSchedule.create("cosine", 25)
+    tcfg = TrainConfig(lr=1e-4, batch_size=8, max_epochs=3, lr_scheduler=None)
+    trainer = Trainer(BertForDiffusion(CONFIG), sched, tcfg, steps_per_epoch=1)
+
+    rows = [{"epoch": 0, "train_loss": 1.0}]
+    trainer._csv_rows_flushed = 0
+    trainer._write_metrics_csv(str(tmp_path), rows)
+    rows.append({"epoch": 1, "train_loss": 0.5})
+    trainer._write_metrics_csv(str(tmp_path), rows)
+    out = tmp_path / "logs" / "metrics.csv"
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "epoch,train_loss"
+    assert len(lines) == 3  # one header + 2 rows
+    assert sum(1 for l in lines if l.startswith("epoch")) == 1
+    # Idempotent: re-flushing with no new rows appends nothing
+    trainer._write_metrics_csv(str(tmp_path), rows)
+    assert len(out.read_text().strip().splitlines()) == 3
+
+
+def test_swa_stays_on_device_and_saves(train_setup, tmp_path):
+    """use_swa keeps the running average on device (no per-epoch host fetch)
+    and saves a best_by_swa model dir at the end."""
+    ds = train_setup
+    data = {k: v[:8] for k, v in ds.to_arrays().items()}
+    sched = DiffusionSchedule.create("cosine", 25)
+    tcfg = TrainConfig(
+        lr=3e-4, batch_size=8, max_epochs=5, lr_scheduler=None, use_swa=True, seed=0
+    )
+    model = BertForDiffusion(CONFIG)
+    trainer = Trainer(model, sched, tcfg, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), pad=48)
+    train_args = {"timesteps": 25, "variance_schedule": "cosine"}
+    state, rows = trainer.fit(
+        state, data, results_dir=str(tmp_path), model_config=CONFIG,
+        train_args=train_args,
+    )
+    swa_ckpts = glob.glob(str(tmp_path / "models" / "best_by_swa" / "*.msgpack"))
+    assert len(swa_ckpts) == 1
+    from flax import serialization
+
+    with open(swa_ckpts[0], "rb") as f:
+        blob = f.read()
+    target = jax.device_get(state.params)
+    restored = serialization.from_bytes({"params": target, "constants": {}}, blob)
+    leaves = jax.tree.leaves(restored["params"])
+    assert leaves and all(np.all(np.isfinite(p)) for p in leaves)
+
+
+def test_zero_center_false_is_honored(tmp_path):
+    """train(zero_center=False) must skip wrapped-mean centering: no mean
+    offset artifact, angles unshifted (the key used to be accepted and
+    silently ignored)."""
+    from foldingdiff_tpu.training.orchestration import get_train_valid_test_sets, train
+
+    pdb_dir = str(tmp_path / "pdbs")
+    make_synthetic_pdb_dir(pdb_dir, n=16, seed=3, min_len=30)
+    os.makedirs(tmp_path / "c1")
+    os.makedirs(tmp_path / "c2")
+
+    centered, _, _ = get_train_valid_test_sets(
+        dataset_key=pdb_dir, angles_definitions="canonical-full-angles",
+        max_seq_len=48, train_only=True, cache_dir=str(tmp_path / "c1"),
+        n_workers=1, zero_center=True,
+    )
+    uncentered, _, _ = get_train_valid_test_sets(
+        dataset_key=pdb_dir, angles_definitions="canonical-full-angles",
+        max_seq_len=48, train_only=True, cache_dir=str(tmp_path / "c2"),
+        n_workers=1, zero_center=False,
+    )
+    assert centered.get_masked_means() is not None
+    assert uncentered.get_masked_means() is None
+    a = centered[0]["angles"]
+    b = uncentered[0]["angles"]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    # End-to-end: train() with zero_center=False writes no mean-offset artifact
+    out = tmp_path / "results_nocenter"
+    train(
+        results_dir=str(out), dataset_key=pdb_dir,
+        angles_definitions="canonical-full-angles", max_seq_len=48,
+        timesteps=5, num_hidden_layers=1, hidden_size=32, intermediate_size=64,
+        num_heads=2, batch_size=8, max_epochs=1, lr_scheduler=None,
+        dryrun=True, use_mesh=False, zero_center=False, multithread=False,
+        save_state_every=0,
+    )
+    assert not os.path.isfile(out / "training_mean_offset.npy")
