@@ -38,23 +38,34 @@ def build_parser() -> argparse.ArgumentParser:
         "--multihost", action="store_true",
         help="initialize jax.distributed (TPU pod slices; mesh spans all hosts)",
     )
+    parser.add_argument(
+        "--coordinator", default=None, type=str,
+        help="explicit coordinator host:port (omit on TPU pods: autodetected)",
+    )
+    parser.add_argument("--nprocs", default=None, type=int, help="process count for --coordinator")
+    parser.add_argument("--procid", default=None, type=int, help="this process's id for --coordinator")
     parser.add_argument("--resume", action="store_true", help="resume from train_state checkpoint")
     return parser
 
 
-def maybe_init_distributed(multihost: bool) -> bool:
+def maybe_init_distributed(
+    multihost: bool, coordinator=None, nprocs=None, procid=None
+) -> bool:
     """
-    --multihost plumbing: initialize jax.distributed so a TPU pod slice's
-    hosts join one mesh (launched per-host by scripts/tpu_pod_launch.sh).
-    NOTE: no pod exists in the CI/dev environment -- this path is exercised
-    only by unit tests with a stubbed backend (tests/test_cli_smoke.py);
-    real multi-host initialization is untested here.
+    --multihost: initialize jax.distributed so all hosts join one global mesh
+    (launched per-host by scripts/tpu_pod_launch.sh; on pods the coordinator
+    is autodetected from the TPU environment). Explicit --coordinator/
+    --nprocs/--procid support N cooperating processes on ordinary hosts --
+    the path exercised end-to-end by tests/test_multihost.py (2 CPU
+    processes, one global 8-device mesh, loss equal to single-process).
     """
     if not multihost:
         return False
-    import jax
+    from foldingdiff_tpu.parallel import multihost as mh
 
-    jax.distributed.initialize()
+    mh.initialize(
+        coordinator_address=coordinator, num_processes=nprocs, process_id=procid
+    )
     return True
 
 
@@ -65,7 +76,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    maybe_init_distributed(args.multihost)
+    maybe_init_distributed(args.multihost, args.coordinator, args.nprocs, args.procid)
 
     from foldingdiff_tpu.training.orchestration import train
 

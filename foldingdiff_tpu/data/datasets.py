@@ -114,7 +114,13 @@ class AngleDataset:
         self.min_length = min_length
         self.pdbs_src = pdbs
         self.use_cache = use_cache
-        self.cache_dir = cache_dir or os.path.dirname(os.path.abspath(__file__))
+        # FOLDINGDIFF_CACHE_DIR overrides the default package-dir cache location
+        # (e.g. per-host scratch on pods, shared pre-warmed cache in tests)
+        self.cache_dir = (
+            cache_dir
+            or os.environ.get("FOLDINGDIFF_CACHE_DIR")
+            or os.path.dirname(os.path.abspath(__file__))
+        )
         self.n_workers = n_workers if n_workers is not None else (os.cpu_count() or 1)
 
         fnames = self._get_pdb_fnames(pdbs)
