@@ -101,3 +101,160 @@ def test_insertion_alignment_beats_threading():
     threading = tmscore.tm_score(chimera, crn)
     assert dp > 0.95, dp
     assert dp > threading + 0.2, (dp, threading)
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("foldingdiff_tpu.eval.tmalign_native").available(),
+    reason="native TM-align not built",
+)
+class TestDecoyBattery:
+    """Systematic decoy battery for the in-repo C++ TM-align (reference
+    tmalign.py:22-54 semantics). The real TMalign binary is unavailable
+    offline, so absolute accuracy is bounded by construction instead:
+    analytically-known decoys (exact truncation ratios, recoverable
+    insertions), monotonicity under a noise ramp, chirality/direction
+    negatives, and agreement bounds between the C++ DP path, the C++
+    identity path, and the independent numpy threading oracle
+    (eval/tmscore.py). Measured bounds are documented in
+    docs/performance.md ("TM-align validation")."""
+
+    @staticmethod
+    def _ca(f):
+        from foldingdiff_tpu.geometry.pdb import extract_backbone_coords
+
+        return extract_backbone_coords(f, atoms=("CA",))
+
+    @classmethod
+    def setup_class(cls):
+        cls.crn = cls._ca(CRN)
+        cls.pfl = cls._ca(PFL)
+        cls.zya = cls._ca(ZYA)
+
+    # ---- fast subset (runs by default) ------------------------------------
+
+    def test_noise_ramp_fast(self):
+        """TM decreases monotonically with noise; at each level the DP path
+        >= the identity path == the numpy oracle (within 1e-3)."""
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        rng = np.random.default_rng(1)
+        prev = 1.1
+        for sigma in (0.5, 2.0):
+            noisy = self.crn + rng.normal(scale=sigma, size=self.crn.shape)
+            dp = tn.tm_align_coords(noisy, self.crn)
+            ident = tn.tm_score_identity_coords(noisy, self.crn)
+            oracle = tmscore.tm_score(noisy, self.crn)
+            assert dp < prev - 0.05, f"not monotone at sigma={sigma}"
+            assert dp >= ident - 1e-6, "DP must never lose to identity"
+            assert abs(ident - oracle) < 1e-3, (ident, oracle)
+            prev = dp
+
+    def test_terminal_truncation_exact_ratio(self):
+        """Truncating k C-terminal residues gives TM == (L-k)/L exactly
+        (all remaining residues align perfectly; d0 normalization by ref)."""
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        l = len(self.crn)
+        score = tn.tm_align_coords(self.crn[: l - 10], self.crn)
+        assert np.isclose(score, (l - 10) / l, atol=1e-6), score
+
+    def test_internal_insertion_recovered(self):
+        """A 5-residue foreign insertion must be gapped out by the DP:
+        TM == 1.0 (all 46 reference residues align), while gapless
+        threading structurally cannot recover it."""
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        ins = self.pfl[50:55] + (self.crn[14] - self.pfl[50]) + np.array([8.0, 0, 0])
+        chimera = np.concatenate([self.crn[:15], ins, self.crn[15:]])
+        dp = tn.tm_align_coords(chimera, self.crn)
+        thr = tmscore.tm_score(chimera, self.crn)
+        assert dp > 0.999, dp
+        assert thr < 0.75, thr
+
+    def test_mirror_image_negative(self):
+        """TM-align must not superpose a mirror image (no reflections in
+        Kabsch): the enantiomer scores like an unrelated fold."""
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        mirrored = self.crn * np.array([-1.0, 1.0, 1.0])
+        score = tn.tm_align_coords(mirrored, self.crn)
+        assert score < 0.45, score
+
+    # ---- full battery (slow) ----------------------------------------------
+
+    @pytest.mark.slow
+    def test_noise_ramp_full(self):
+        """Five-level ramp; documents the measured C++-vs-numpy agreement
+        bound (identity paths agree to <1e-3 at every level; DP beats
+        identity by up to ~0.035 at sigma=4 where realignment helps)."""
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        rng = np.random.default_rng(0)
+        prev = 1.1
+        for sigma in (0.2, 0.5, 1.0, 2.0, 4.0):
+            noisy = self.crn + rng.normal(scale=sigma, size=self.crn.shape)
+            dp = tn.tm_align_coords(noisy, self.crn)
+            ident = tn.tm_score_identity_coords(noisy, self.crn)
+            oracle = tmscore.tm_score(noisy, self.crn)
+            assert dp < prev, f"not monotone at sigma={sigma}"
+            assert dp >= ident - 1e-6
+            assert abs(ident - oracle) < 1e-3
+            assert dp - ident < 0.08, "DP advantage should stay bounded"
+            prev = dp
+
+    @pytest.mark.slow
+    def test_truncation_sweep(self):
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        l = len(self.crn)
+        for k in (5, 10, 20):
+            score = tn.tm_align_coords(self.crn[: l - k], self.crn)
+            assert np.isclose(score, (l - k) / l, atol=1e-6), (k, score)
+
+    @pytest.mark.slow
+    def test_insertion_sweep(self):
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        for j, p in ((5, 15), (15, 25)):
+            ins = self.pfl[50 : 50 + j] + (self.crn[p - 1] - self.pfl[50]) + np.array([8.0, 0, 0])
+            chimera = np.concatenate([self.crn[:p], ins, self.crn[p:]])
+            assert tn.tm_align_coords(chimera, self.crn) > 0.999, (j, p)
+
+    @pytest.mark.slow
+    def test_reversal_negative(self):
+        """Chain-reversed decoy: same point cloud, reversed correspondence;
+        sequential alignment must score it like an unrelated fold."""
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        score = tn.tm_align_coords(self.crn[::-1].copy(), self.crn)
+        assert score < 0.45, score
+
+    @pytest.mark.slow
+    def test_real_pair_cross_scores(self):
+        """Real-pair battery (1CRN/7PFL/7ZYA): near-symmetric for same-length
+        pairs, clearly separated from self-scores, deterministic."""
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        pz = tn.tm_align_coords(self.pfl, self.zya)
+        zp = tn.tm_align_coords(self.zya, self.pfl)
+        assert 0.1 < pz < 0.5 and 0.1 < zp < 0.5
+        assert abs(pz - zp) < 0.05, "len-303 vs len-305 norms differ only slightly"
+        assert tn.tm_align_coords(self.crn, self.pfl) < 0.2
+        assert tn.tm_align_coords(self.crn, self.zya) < 0.2
+        assert tn.tm_align_coords(self.pfl, self.zya) == pz  # deterministic
+
+    @pytest.mark.slow
+    def test_rigid_motion_sweep(self):
+        """Invariance under 5 random rotations+translations (self-score
+        stays 1.0, cross-score unchanged within 1e-3)."""
+        from scipy.spatial.transform import Rotation
+
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        base = tn.tm_align_coords(self.pfl, self.zya)
+        for i in range(5):
+            rot = Rotation.random(random_state=i).as_matrix()
+            t = np.array([3.0 * i, -2.0 * i, 5.0])
+            moved = self.pfl @ rot.T + t
+            assert tn.tm_align_coords(moved, self.pfl) > 0.999
+            assert abs(tn.tm_align_coords(moved, self.zya) - base) < 1e-3
