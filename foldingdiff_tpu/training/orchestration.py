@@ -113,6 +113,7 @@ def train(
     early_stop_patience: int = 0,
     lr_scheduler: Optional[str] = None,
     use_swa: bool = False,  # stochastic weight averaging over final 20% of epochs
+    fused_steps: int = 1,  # dispatch K train steps as one device execution
     # Misc / debugging
     multithread: bool = True,
     subset=False,
@@ -243,6 +244,7 @@ def train(
         angular_variance=variance_scale,
         use_swa=use_swa,
         seed=seed,
+        fused_steps=fused_steps,
     )
 
     # Pre-training diagnostics: KL(noised || noise) over timesteps and the

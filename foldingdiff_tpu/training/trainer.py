@@ -66,6 +66,12 @@ class TrainConfig:
     nonangular_variance: float = 1.0
     use_swa: bool = False  # stochastic weight averaging over the last 20% of epochs
     seed: int = 42
+    # Dispatch K train steps as ONE device execution (lax.scan over K stacked
+    # batches inside jit). Identical math to K separate steps (same key
+    # sequence); cuts the per-step host dispatch overhead, which dominates on
+    # a 1-core host driving a remote-dispatch TPU. 1 = off. Only full groups
+    # of K are fused; the remainder runs through the single-step path.
+    fused_steps: int = 1
 
 
 class TrainState(struct.PyTreeNode):
@@ -182,6 +188,7 @@ class Trainer:
         # these on first use via hasattr hid per-instance recompiles
         self._train_step_pre = jax.jit(self._step_precorrupted_impl, donate_argnums=(0,))
         self._eval_at_t = jax.jit(self._eval_at_t_impl)
+        self._multi_train_step = jax.jit(self._multi_step_impl, donate_argnums=(0,))
         # SWA running average stays ON DEVICE: one jitted dispatch per epoch
         # instead of a full-params device_get (a seconds-scale round-trip on a
         # remote-dispatch TPU). The output is a fresh buffer, so it never
@@ -370,11 +377,26 @@ class Trainer:
         new_state = state.apply_gradients(grads)
         return new_state, avg, terms
 
+    def _multi_step_impl(self, state: TrainState, batches, rngs):
+        """K sequential train steps as one lax.scan (batches/rngs stacked on
+        the leading axis). Same per-step math as _step_impl."""
+
+        def body(st, scan_in):
+            batch, rng = scan_in
+            st, avg, terms = self._step_impl(st, batch, rng)
+            return st, (avg, terms)
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
     # -- epoch loops ---------------------------------------------------------
-    def _batches(self, data: Dict[str, np.ndarray], rng: np.random.Generator, shuffle: bool):
+    def _batches(
+        self, data: Dict[str, np.ndarray], rng: np.random.Generator, shuffle: bool,
+        shard: bool = True,
+    ):
         """Yields (batch, weight) where weight is the unmasked-position count,
         computed host-side BEFORE any mesh sharding (so it costs no device
-        round-trip and ignores zero-padded rows)."""
+        round-trip and ignores zero-padded rows). shard=False yields raw host
+        batches (the fused-dispatch path stacks then places them itself)."""
         n = data["angles"].shape[0]
         idx = rng.permutation(n) if shuffle else np.arange(n)
         bs = self.cfg.batch_size
@@ -389,16 +411,39 @@ class Trainer:
                 "lengths": data["lengths"][sel],
             }
             weight = float(np.sum(batch["attn_mask"]))
-            if self.mesh is not None:
-                from foldingdiff_tpu.parallel.mesh import shard_batch
-
-                batch = dict(
-                    zip(
-                        batch.keys(),
-                        shard_batch(self.mesh, *batch.values()),
-                    )
-                )
+            if shard and self.mesh is not None:
+                batch = self._place_batch(batch)
             yield batch, weight
+
+    def _place_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from foldingdiff_tpu.parallel.mesh import shard_batch
+
+        return dict(zip(batch.keys(), shard_batch(self.mesh, *batch.values())))
+
+    def _place_stacked(self, stacked):
+        """Place a (K, B, ...) stacked batch dict: scan axis replicated,
+        batch axis sharded (with the same loss-exact zero padding as
+        shard_batch when B is not divisible by the mesh)."""
+        if self.mesh is None:
+            return stacked
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from foldingdiff_tpu.parallel.mesh import pad_to_multiple
+
+        b = stacked["angles"].shape[1]
+        target = pad_to_multiple(b, self.mesh.size)
+        if target != b:
+            stacked = {
+                k: np.concatenate(
+                    [v, np.zeros((v.shape[0], target - b) + v.shape[2:], dtype=v.dtype)],
+                    axis=1,
+                )
+                for k, v in stacked.items()
+            }
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        return {k: jax.device_put(v, sharding) for k, v in stacked.items()}
 
     def fit(
         self,
@@ -479,16 +524,55 @@ class Trainer:
             # round-trip (seconds each through a remote-dispatch tunnel) that
             # serializes the step pipeline.
             train_losses = []
-            for batch, _ in self._batches(train_data, host_rng, shuffle=True):
-                key, step_key = jax.random.split(key)
-                state, avg, terms = self._train_step(state, batch, step_key)
-                train_losses.append((avg, terms))
+            fused = max(int(cfg.fused_steps), 1)
+            if fused == 1:
+                for batch, _ in self._batches(train_data, host_rng, shuffle=True):
+                    key, step_key = jax.random.split(key)
+                    state, avg, terms = self._train_step(state, batch, step_key)
+                    train_losses.append((avg, terms))
+            else:
+                # Fused dispatch: scan K same-shape steps inside one jit
+                # (identical math and key sequence to the loop above; the
+                # ragged tail batch falls through to the single-step path)
+                batches = [b for b, _ in self._batches(
+                    train_data, host_rng, shuffle=True, shard=False
+                )]
+                i = 0
+                while i < len(batches):
+                    group = [batches[i]]
+                    while (
+                        len(group) < fused
+                        and i + len(group) < len(batches)
+                        and batches[i + len(group)]["angles"].shape[0]
+                        == group[0]["angles"].shape[0]
+                    ):
+                        group.append(batches[i + len(group)])
+                    i += len(group)
+                    step_keys = []
+                    for _ in group:
+                        key, sk = jax.random.split(key)
+                        step_keys.append(sk)
+                    if len(group) == 1:
+                        state, avg, terms = self._train_step(
+                            state, self._place_batch(group[0]), step_keys[0]
+                        )
+                    else:
+                        stacked = {
+                            k: np.stack([g[k] for g in group]) for k in group[0]
+                        }
+                        state, (avg, terms) = self._multi_train_step(
+                            state, self._place_stacked(stacked), jnp.stack(step_keys)
+                        )
+                    train_losses.append((avg, terms))
             train_losses = jax.device_get(train_losses)
+            # avg entries are scalars (single step) or (K,) (fused group);
+            # terms entries are (F,) or (K, F)
             train_loss = (
-                float(np.mean([l for l, _ in train_losses])) if train_losses else np.nan
+                float(np.mean(np.concatenate([np.atleast_1d(a) for a, _ in train_losses])))
+                if train_losses else np.nan
             )
             train_terms = (
-                np.mean(np.stack([t for _, t in train_losses]), axis=0)
+                np.mean(np.concatenate([np.atleast_2d(t) for _, t in train_losses]), axis=0)
                 if train_losses
                 else np.full(len(pseudo_names), np.nan)
             )
