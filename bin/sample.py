@@ -59,12 +59,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 def write_preds_pdb_folder(sampled_dfs, pdb_dir: str, threads: int = 0) -> list:
     """Write each sampled angle table to a PDB via NeRF (reference
-    bin/sample.py:105-128)."""
+    bin/sample.py:105-128). Cart-coords tables (x/y/z columns) skip NeRF and
+    write CA-trace PDBs directly."""
     import functools
 
     from foldingdiff_tpu.geometry.featurize import create_new_chain_nerf
 
     os.makedirs(pdb_dir, exist_ok=True)
+    if sampled_dfs and list(sampled_dfs[0].columns) == ["x", "y", "z"]:
+        from foldingdiff_tpu.geometry.pdb import write_ca_trace_to_pdb
+
+        return [
+            write_ca_trace_to_pdb(
+                df.values, os.path.join(pdb_dir, f"generated_{i}.pdb")
+            )
+            for i, df in enumerate(sampled_dfs)
+        ]
     args = [
         (os.path.join(pdb_dir, f"generated_{i}.pdb"), df)
         for i, df in enumerate(sampled_dfs)
@@ -107,7 +117,10 @@ def main():
         train_args["variance_schedule"], train_args["timesteps"]
     )
     empty = AnglesEmptyDataset.from_dir(args.model)
-    ft_names = list(empty.feature_names["angles"])
+    # cart-coords models store features under "coords" (reference
+    # datasets.py:94-98); everything else uses "angles"
+    ft_key = next(iter(empty.feature_names))
+    ft_names = list(empty.feature_names[ft_key])
 
     # Snapshot the model artifacts alongside outputs (reference 340-343)
     snapshot = outdir / "model_snapshot"
@@ -138,7 +151,7 @@ def main():
     with maybe_profile(args.profile), phase_timer("sampling"):
         sampled = samp.sample(
             model, params, constants, schedule,
-            is_angular=empty.feature_is_angular["angles"],
+            is_angular=empty.feature_is_angular[ft_key],
             pad=empty.pad,
             n=args.num,
             sweep_lengths=tuple(args.lengths),
@@ -209,7 +222,8 @@ def main():
             rows = []
             for i in range(len(test_ds)):
                 item = test_ds.__getitem__(i, ignore_zero_center=True)
-                rows.append(item["angles"][: int(item["lengths"])])
+                feats = item["angles"] if "angles" in item else item["coords"]
+                rows.append(feats[: int(item["lengths"])])
             dists["test data"] = np.concatenate(rows)
         plots.plot_distribution_overlap(
             dists, str(plots_dir / "generated_distributions.pdf"), ft_names,

@@ -259,9 +259,11 @@ def sample_simple(
         mean_offset = empty.get_masked_means()
     except NotImplementedError:
         mean_offset = None
+    # cart-coords models store features under "coords"; all others "angles"
+    ft_key = next(iter(empty.feature_names))
     sampled = sample(
         model, params, constants, schedule,
-        is_angular=empty.feature_is_angular["angles"],
+        is_angular=empty.feature_is_angular[ft_key],
         pad=empty.pad,
         n=n,
         sweep_lengths=sweep_lengths,
@@ -269,7 +271,7 @@ def sample_simple(
         mean_offset=mean_offset,
         seed=seed,
     )
-    cols = list(empty.feature_names["angles"])
+    cols = list(empty.feature_names[ft_key])
     return [pd.DataFrame(s, columns=cols) for s in sampled]
 
 

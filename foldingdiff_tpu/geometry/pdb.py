@@ -214,6 +214,21 @@ def write_coords_to_pdb(coords: np.ndarray, out_fname: str) -> str:
     return out_fname
 
 
+def write_ca_trace_to_pdb(coords: np.ndarray, out_fname: str) -> str:
+    """
+    Write an (L, 3) CA coordinate array as a GLY CA-trace PDB. Used for the
+    cart-coords ablation model, whose samples are CA positions rather than
+    internal angles (reference datasets.py:313 extracts atoms=["CA"]).
+    """
+    coords = np.asarray(coords)
+    assert coords.ndim == 2 and coords.shape[1] == 3, f"Expected (L, 3), got {coords.shape}"
+    with open(out_fname, "w") as fh:
+        for i, c in enumerate(coords):
+            fh.write(_format_atom_line(i + 1, "CA", "GLY", "A", i + 1, c, 1.0, 5.0, "C"))
+        fh.write("END\n")
+    return out_fname
+
+
 def write_full_atoms_to_pdb(atoms: List[PDBAtom], out_fname: str) -> str:
     """Write arbitrary atoms (used by sidechain grafting / oxygen addition)."""
     with open(out_fname, "w") as fh:

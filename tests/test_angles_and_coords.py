@@ -79,3 +79,17 @@ class TestAddOxygen:
         # C=O bond length ~1.23
         for o, c in zip(o_atoms, c_atoms):
             assert np.isclose(np.linalg.norm(o.coord - c.coord), 1.23, atol=1e-3)
+
+
+class TestCaTrace:
+    def test_roundtrip(self, tmp_path):
+        """write_ca_trace_to_pdb (cart-coords sampling output) roundtrips
+        through our PDB reader at data-scale coordinates."""
+        from foldingdiff_tpu.geometry.pdb import write_ca_trace_to_pdb
+
+        rng = np.random.default_rng(0)
+        ca = rng.normal(scale=20.0, size=(40, 3))
+        out = write_ca_trace_to_pdb(ca, str(tmp_path / "ca.pdb"))
+        got = read_pdb(out).atom_coords(names=("CA",))
+        assert got.shape == (40, 3)
+        np.testing.assert_allclose(got, ca, atol=5e-4)
