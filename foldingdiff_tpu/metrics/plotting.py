@@ -129,7 +129,8 @@ def plot_timestep_distributions(
     """
     import os
 
-    feature_names = list(noised_dset.feature_names["angles"])
+    ft_key = getattr(noised_dset, "dset_key", "angles")
+    feature_names = list(noised_dset.feature_names[ft_key])
     select_ts = np.unique(np.linspace(0, timesteps - 1, n_intervals).astype(int))
     n = min(len(noised_dset), max_items)
     outs = []

@@ -258,7 +258,8 @@ def train(
             plots_folder = results_folder / "plots"
             os.makedirs(plots_folder, exist_ok=True)
             noised = NoisedAnglesDataset(
-                train_ds, timesteps=timesteps, beta_schedule=variance_schedule,
+                train_ds, dset_key=ft_key, timesteps=timesteps,
+                beta_schedule=variance_schedule,
                 angular_variance=variance_scale, seed=seed,
             )
             kl_vals = kl_from_dset(noised, seed=seed)
