@@ -6,6 +6,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 from tests.helpers import make_synthetic_pdb_dir
@@ -115,6 +116,36 @@ def test_train_then_sample_cart_coords(workspace):
     # unit-tested in test_angles_and_coords.)
     n_atoms = sum(1 for l in open(pdbs[0]) if l.startswith("ATOM"))
     assert n_atoms in (30, 31)
+
+
+def test_sample_random_angles_cli(workspace):
+    """Random-angle null baseline (reference bin/sample_random_angles.py):
+    resample test-pool marginals into NeRF-built chains. Needs only
+    training_args.json from a dryrun model dir plus the PDB corpus."""
+    r = _run(
+        [os.path.join(REPO, "bin", "train.py"), str(workspace / "tiny.json"),
+         "-o", str(workspace / "results_dry"), "--cpu", "--dryrun"],
+        cwd=str(workspace),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(
+        [os.path.join(REPO, "bin", "sample_random_angles.py"),
+         "-m", str(workspace / "results_dry"), "--data", str(workspace / "pdbs"),
+         "-n", "3", "-o", str(workspace / "random_baseline")],
+        cwd=str(workspace),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pdbs = sorted((workspace / "random_baseline" / "sampled_pdb").glob("*.pdb"))
+    assert len(pdbs) == 3
+    from foldingdiff_tpu.geometry.pdb import read_pdb
+
+    # NeRF-built backbones: N/CA/C per residue, readable by our parser
+    coords = read_pdb(str(pdbs[0])).atom_coords(names=("CA",))
+    assert coords.shape[0] >= 5
+    # NeRF uses fixed bond lengths, so CA spacing is capped near the trans
+    # ~3.8 A (randomized omega/bond-angles can compress below it, never above)
+    d = np.linalg.norm(np.diff(coords, axis=0), axis=1)
+    assert d.max() < 4.2 and np.median(d) > 3.0
 
 
 def test_multihost_flag_plumbing(monkeypatch):
