@@ -148,6 +148,25 @@ def test_sample_random_angles_cli(workspace):
     assert d.max() < 4.2 and np.median(d) > 3.0
 
 
+def test_splice_aa_cli(tmp_path):
+    """Graft idealized side chains onto a backbone (reference
+    bin/splice_aa_onto_backbone.py) -- the graft_relax notebook's first step."""
+    from foldingdiff_tpu.geometry.pdb import read_pdb
+
+    src = os.path.join(REPO, "data", "1CRN.pdb")
+    n_res = read_pdb(src).atom_coords(names=("CA",)).shape[0]
+    out = tmp_path / "full.pdb"
+    r = _run(
+        [os.path.join(REPO, "bin", "splice_aa_onto_backbone.py"), src,
+         "L" * n_res, "-o", str(out)],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # leucine adds CB/CG/CD1/CD2 beyond backbone atoms
+    txt = out.read_text()
+    assert " CB " in txt and " CG " in txt
+
+
 def test_multihost_flag_plumbing(monkeypatch):
     """--multihost must call jax.distributed.initialize (stubbed here: no pod
     exists in this environment; scripts/tpu_pod_launch.sh is the launcher)."""
