@@ -53,6 +53,34 @@ def main():
     )
     print(f"wrote {out}")
 
+    # 1b. Training-set novelty: histogram of each sample's max TM-score
+    # against the full training set (reference jupyter/training_tm;
+    # bin/tmscore_training.py writes tm_scores.json)
+    tm_json = next(
+        (p for p in (os.path.join(HERE, "tm_scores.json"),
+                     os.path.join(args.results, "sampled_pdb", "tm_scores.json"))
+         if os.path.isfile(p)), None)
+    if tm_json:
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        with open(tm_json) as f:
+            tm_vals = np.array(list(json.load(f).values()))
+        fig, ax = plt.subplots(dpi=300, figsize=(5.2, 3.2))
+        ax.hist(tm_vals, bins=24, range=(0.0, 1.0), color="#4c72b0", edgecolor="white")
+        ax.axvline(0.5, color="0.35", lw=1.2, ls="--")
+        ax.text(0.505, 0.97, "same-fold cutoff (TM=0.5)", transform=ax.get_xaxis_transform(),
+                fontsize=7, color="0.35", va="top")
+        ax.set(xlabel="max TM-score vs training set", ylabel="generated structures",
+               title=f"Training-set novelty of {len(tm_vals)} samples "
+                     f"(median {np.median(tm_vals):.2f}, max {tm_vals.max():.2f})")
+        ax.spines[["top", "right"]].set_visible(False)
+        out = os.path.join(args.outdir, "training_tm_novelty.png")
+        fig.savefig(out, bbox_inches="tight")
+        plt.close(fig)
+        print(f"wrote {out}")
+
     # 2. Angles of the generated structures (re-featurized from the sampled
     # PDBs, so these plots reflect exactly what was written to disk)
     sampled_pdbs = sorted(glob.glob(os.path.join(args.results, "sampled_pdb", "*.pdb")))
