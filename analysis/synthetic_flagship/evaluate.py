@@ -39,13 +39,19 @@ def main():
                         "DDIM speedup)")
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
+    parser.add_argument("--best-by", choices=["valid", "train", "swa"],
+                        default="valid",
+                        help="which checkpoint family to load (swa = the "
+                        "tail-averaged weights saved by TrainConfig.use_swa)")
     args = parser.parse_args()
-    # DDIM results go to suffixed artifacts so the reference-parity DDPM
+    # DDIM/SWA results go to suffixed artifacts so the reference-parity DDPM
     # artifacts are never clobbered
     suffix = "" if args.method == "ddpm" else (
         f"_{args.method}{args.ddim_steps}"
         + (f"_eta{args.ddim_eta:g}" if args.ddim_eta else "")
     )
+    if args.best_by != "valid":
+        suffix += f"_{args.best_by}"
 
     import pandas as pd
 
@@ -57,7 +63,9 @@ def main():
     from foldingdiff_tpu.models import io as model_io
     from foldingdiff_tpu.training.orchestration import get_train_valid_test_sets
 
-    model, params, constants, train_args = model_io.from_dir(args.results)
+    model, params, constants, train_args = model_io.from_dir(
+        args.results, best_by=args.best_by
+    )
     sched = DiffusionSchedule.create(
         train_args["variance_schedule"], train_args["timesteps"]
     )
