@@ -123,10 +123,11 @@ def main():
     for i, df in enumerate(dfs):
         ca = df[["x", "y", "z"]].values
         gen_chains.append(ca)
-        # Recenter before writing: fixed-width PDB columns overflow past
-        # +-1000 A, and a badly-trained coord model can drift that far
-        if np.all(np.abs(ca - ca.mean(0)) < 999):
-            write_ca_trace_to_pdb(ca - ca.mean(0), os.path.join(gen_dir, f"generated_{i}.pdb"))
+        # write_ca_trace_to_pdb recenters and guards PDB column width itself
+        try:
+            write_ca_trace_to_pdb(ca, os.path.join(gen_dir, f"generated_{i}.pdb"))
+        except ValueError:
+            pass  # drifted coord model; skip rather than emit garbage
 
     # Held-out test split, un-centered CA coords
     ds = dsets.DATASET_CLASSES["cart-coords"](

@@ -69,12 +69,17 @@ def write_preds_pdb_folder(sampled_dfs, pdb_dir: str, threads: int = 0) -> list:
     if sampled_dfs and list(sampled_dfs[0].columns) == ["x", "y", "z"]:
         from foldingdiff_tpu.geometry.pdb import write_ca_trace_to_pdb
 
-        return [
-            write_ca_trace_to_pdb(
-                df.values, os.path.join(pdb_dir, f"generated_{i}.pdb")
-            )
-            for i, df in enumerate(sampled_dfs)
-        ]
+        files = []
+        for i, df in enumerate(sampled_dfs):
+            try:
+                files.append(write_ca_trace_to_pdb(
+                    df.values, os.path.join(pdb_dir, f"generated_{i}.pdb")
+                ))
+            except ValueError as e:
+                # writer recenters + guards PDB column width; a drifted
+                # coord model can still overflow -- skip, don't emit garbage
+                logging.warning(f"Skipping sample {i}: {e}")
+        return files
     args = [
         (os.path.join(pdb_dir, f"generated_{i}.pdb"), df)
         for i, df in enumerate(sampled_dfs)

@@ -214,14 +214,28 @@ def write_coords_to_pdb(coords: np.ndarray, out_fname: str) -> str:
     return out_fname
 
 
-def write_ca_trace_to_pdb(coords: np.ndarray, out_fname: str) -> str:
+def write_ca_trace_to_pdb(coords: np.ndarray, out_fname: str, recenter: bool = True) -> str:
     """
     Write an (L, 3) CA coordinate array as a GLY CA-trace PDB. Used for the
     cart-coords ablation model, whose samples are CA positions rather than
     internal angles (reference datasets.py:313 extracts atoms=["CA"]).
+
+    Coordinates are zero-centered first (superposition-invariant metrics
+    don't care; fixed-width %8.3f PDB columns overflow past +-1000 A and a
+    badly-trained coord model can drift that far). If any coordinate still
+    exceeds the column width after recentering, raises ValueError rather
+    than silently emitting a malformed PDB whose shifted columns downstream
+    parsers (TM-align, lDDT, DSSP) would read as garbage.
     """
-    coords = np.asarray(coords)
+    coords = np.asarray(coords, dtype=np.float64)
     assert coords.ndim == 2 and coords.shape[1] == 3, f"Expected (L, 3), got {coords.shape}"
+    if recenter:
+        coords = coords - coords.mean(axis=0)
+    if not np.all(np.abs(coords) < 1000.0):
+        raise ValueError(
+            f"CA coords exceed PDB %8.3f column width even after recentering "
+            f"(max |coord| = {np.abs(coords).max():.1f} A); refusing to write {out_fname}"
+        )
     with open(out_fname, "w") as fh:
         for i, c in enumerate(coords):
             fh.write(_format_atom_line(i + 1, "CA", "GLY", "A", i + 1, c, 1.0, 5.0, "C"))

@@ -61,7 +61,7 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def dp_train_step_demo(seed: int = 0) -> float:
+def dp_train_step_demo(seed: int = 0, n_devices: "int | None" = None) -> float:
     """
     One data-parallel diffusion train step over the GLOBAL mesh (all devices
     of all processes) on tiny shapes, returning the scalar loss. Pure SPMD:
@@ -69,6 +69,11 @@ def dp_train_step_demo(seed: int = 0) -> float:
     from `seed`, so the returned loss is identical on every process AND
     identical to a single-process run over the same number of devices --
     which is exactly what tests/test_multihost.py asserts.
+
+    `n_devices` restricts the mesh to the first N global devices (and scales
+    the batch to 2*N). The single-process comparison side passes this so the
+    reference math matches the workers' device count even when the ambient
+    platform has more devices than the dryrun was asked for.
     """
     import jax
 
@@ -78,7 +83,9 @@ def dp_train_step_demo(seed: int = 0) -> float:
     from foldingdiff_tpu.parallel.mesh import make_mesh, shard_batch
     from foldingdiff_tpu.training.trainer import Trainer, TrainConfig
 
-    n_devices = jax.device_count()
+    if n_devices is None:
+        n_devices = jax.device_count()
+    assert n_devices <= jax.device_count()
     config = ModelConfig(
         hidden_size=64,
         num_hidden_layers=2,
@@ -88,7 +95,7 @@ def dp_train_step_demo(seed: int = 0) -> float:
         position_embedding_type="relative_key",
         matmul_precision="highest",
     )
-    mesh = make_mesh()  # ALL global devices
+    mesh = make_mesh(jax.devices()[:n_devices])
     schedule = DiffusionSchedule.create("linear", 10)
     tcfg = TrainConfig(lr=1e-4, batch_size=2 * n_devices, max_epochs=1, lr_scheduler=None)
     trainer = Trainer(BertForDiffusion(config), schedule, tcfg, steps_per_epoch=1, mesh=mesh)

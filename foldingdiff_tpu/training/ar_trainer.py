@@ -20,7 +20,12 @@ import numpy as np
 from foldingdiff_tpu import losses as loss_lib
 from foldingdiff_tpu.models import io as model_io
 from foldingdiff_tpu.models.ar import BertForAutoregressive
-from foldingdiff_tpu.training.trainer import TrainConfig, TrainState, build_optimizer
+from foldingdiff_tpu.training.trainer import (
+    TrainConfig,
+    TrainState,
+    append_metrics_csv,
+    build_optimizer,
+)
 
 
 class ARTrainer:
@@ -102,6 +107,7 @@ class ARTrainer:
         key = jax.random.PRNGKey(cfg.seed)
         host_rng = np.random.default_rng(cfg.seed)
         rows: List[Dict[str, float]] = []
+        csv_flushed = 0
         best: List[Tuple[float, int, str]] = []
         if results_dir is not None:
             import os
@@ -149,18 +155,9 @@ class ARTrainer:
             if log_every and epoch % log_every == 0:
                 logging.info(f"AR epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
             if results_dir is not None:
-                # Append-mode metrics CSV (one header, O(1) I/O per epoch)
-                import csv
-                import os
-
-                os.makedirs(os.path.join(results_dir, "logs"), exist_ok=True)
-                out = os.path.join(results_dir, "logs", "metrics.csv")
-                header = not os.path.exists(out) or os.path.getsize(out) == 0
-                with open(out, "a", newline="") as f:
-                    w = csv.DictWriter(f, fieldnames=list(rows[-1].keys()))
-                    if header:
-                        w.writeheader()
-                    w.writerow(rows[-1])
+                csv_flushed = append_metrics_csv(
+                    results_dir, rows, already_flushed=csv_flushed
+                )
             if results_dir is not None and model_config is not None:
                 metric = val_loss if valid_data is not None else train_loss
                 if not np.isnan(metric) and (len(best) < 5 or metric < max(b[0] for b in best)):

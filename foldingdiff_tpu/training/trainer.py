@@ -126,6 +126,28 @@ def build_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTra
     )
 
 
+def append_metrics_csv(
+    results_dir: str, rows: List[Dict[str, float]], already_flushed: int = 0
+) -> int:
+    """Append rows[already_flushed:] to <results_dir>/logs/metrics.csv,
+    writing the header only when the file is new/empty, and return the new
+    flushed count. Shared by the diffusion Trainer and the ARTrainer so the
+    truncate-on-fresh-run / one-header / append-per-epoch contract lives in
+    exactly one place."""
+    os.makedirs(os.path.join(results_dir, "logs"), exist_ok=True)
+    out = os.path.join(results_dir, "logs", "metrics.csv")
+    new_rows = rows[already_flushed:]
+    if not new_rows:
+        return already_flushed
+    write_header = not os.path.exists(out) or os.path.getsize(out) == 0
+    with open(out, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        if write_header:
+            writer.writeheader()
+        writer.writerows(new_rows)
+    return len(rows)
+
+
 def _per_feature_losses(
     pred: jnp.ndarray,
     target: jnp.ndarray,
@@ -430,7 +452,7 @@ class Trainer:
             return stacked
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from foldingdiff_tpu.parallel.mesh import pad_to_multiple
+        from foldingdiff_tpu.parallel.mesh import _global_put, pad_to_multiple
 
         b = stacked["angles"].shape[1]
         target = pad_to_multiple(b, self.mesh.size)
@@ -443,7 +465,10 @@ class Trainer:
                 for k, v in stacked.items()
             }
         sharding = NamedSharding(self.mesh, P(None, "data"))
-        return {k: jax.device_put(v, sharding) for k, v in stacked.items()}
+        # _global_put, not jax.device_put: under multi-host jax.distributed
+        # the mesh spans non-addressable devices and a plain device_put of a
+        # host array raises (see parallel/mesh.py)
+        return {k: _global_put(v, sharding) for k, v in stacked.items()}
 
     def fit(
         self,
@@ -468,7 +493,7 @@ class Trainer:
         # Multi-host: every process runs the same SPMD compute (metric values
         # are replicated, so early-stop/top-k decisions stay consistent), but
         # only process 0 WRITES artifacts (reference rank-0 logging,
-        # modelling.py:744-749). Reads (resume) happen on all processes.
+        # modelling.py:744-749). Resume restores on process 0 and broadcasts.
         primary = jax.process_index() == 0
 
         # Preemption handling (absent in the reference, SURVEY.md section 5):
@@ -492,7 +517,42 @@ class Trainer:
             from foldingdiff_tpu.training.checkpoint import latest_train_state, restore_train_state
 
             ckpt = latest_train_state(results_dir)
-            if ckpt is not None:
+            if jax.process_count() > 1:
+                # Multi-host: per-host disks mean only some processes may
+                # find the checkpoint (pod relaunch after preemption).
+                # Restoring on process 0 and broadcasting keeps the
+                # replicate() invariant (identical params/opt-state/epoch on
+                # every process); without this, hosts without the file would
+                # silently restart from epoch 0 with fresh weights.
+                import numpy as _np
+                from jax.experimental import multihost_utils as _mhu
+
+                restored_state, restored_epoch = state, 0
+                if primary and ckpt is not None:
+                    restored_state, restored_epoch = restore_train_state(ckpt, state)
+                payload = _mhu.broadcast_one_to_all(
+                    {
+                        "has": _np.int32(primary and ckpt is not None),
+                        "epoch": _np.int32(restored_epoch),
+                        "step": jax.device_get(restored_state.step),
+                        "params": jax.device_get(restored_state.params),
+                        "constants": jax.device_get(restored_state.constants),
+                        "opt_state": jax.device_get(restored_state.opt_state),
+                    }
+                )
+                if int(payload["has"]):
+                    state = state.replace(
+                        step=jnp.asarray(payload["step"]),
+                        params=payload["params"],
+                        constants=payload["constants"],
+                        opt_state=payload["opt_state"],
+                    )
+                    start_epoch = int(payload["epoch"])
+                    logging.info(
+                        f"Resumed train state at epoch {start_epoch} "
+                        f"(restored on process 0, broadcast to {jax.process_count()} processes)"
+                    )
+            elif ckpt is not None:
                 state, start_epoch = restore_train_state(ckpt, state)
                 logging.info(f"Resumed train state from {ckpt} at epoch {start_epoch}")
         # metrics.csv is APPENDED to per epoch (O(1) host I/O per epoch, not
@@ -589,6 +649,24 @@ class Trainer:
                 )
                 val_terms[: len(ex_terms)] = ex_terms
                 val_loss = float(np.mean(ex_terms))
+                if write_preds_to_dir:
+                    # exhaustive-t validation must not silently drop the
+                    # user's write_valid_preds request: dump preds for the
+                    # first valid batch exactly like the per-batch branch.
+                    # (key split on ALL processes -- only the write is
+                    # primary-gated -- so multi-host key streams stay equal)
+                    key, step_key = jax.random.split(key)
+                    if primary:
+                        # shard=False: this block runs on process 0 only, so
+                        # the batch must stay host-local (a global-mesh put
+                        # from one process would hang under multi-host)
+                        first_batch = next(
+                            iter(self._batches(valid_data, host_rng, shuffle=False, shard=False))
+                        )[0]
+                        self._write_val_preds(
+                            write_preds_to_dir, state, first_batch, step_key, epoch,
+                            ex_terms,
+                        )
             elif valid_data is not None:
                 vlosses, vweights = [], []
                 first_val = None
@@ -742,15 +820,6 @@ class Trainer:
         """Append rows not yet flushed (O(1) host I/O per epoch; rewriting the
         whole file every epoch was O(epochs^2) on a host that also feeds the
         TPU tunnel). A resumed run appends to the previous session's file."""
-        os.makedirs(os.path.join(results_dir, "logs"), exist_ok=True)
-        out = os.path.join(results_dir, "logs", "metrics.csv")
-        new_rows = rows[self._csv_rows_flushed:]
-        if not new_rows:
-            return
-        write_header = not os.path.exists(out) or os.path.getsize(out) == 0
-        with open(out, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-            if write_header:
-                writer.writeheader()
-            writer.writerows(new_rows)
-        self._csv_rows_flushed = len(rows)
+        self._csv_rows_flushed = append_metrics_csv(
+            results_dir, rows, already_flushed=self._csv_rows_flushed
+        )

@@ -4,6 +4,7 @@ oxygen-placement checks."""
 import os
 
 import numpy as np
+import pytest
 
 from foldingdiff_tpu.geometry import sidechains
 from foldingdiff_tpu.geometry.pdb import read_pdb, write_coords_to_pdb
@@ -92,4 +93,26 @@ class TestCaTrace:
         out = write_ca_trace_to_pdb(ca, str(tmp_path / "ca.pdb"))
         got = read_pdb(out).atom_coords(names=("CA",))
         assert got.shape == (40, 3)
-        np.testing.assert_allclose(got, ca, atol=5e-4)
+        # the writer zero-centers (PDB column-width guard); metrics are
+        # superposition-invariant so this loses nothing
+        np.testing.assert_allclose(got, ca - ca.mean(0), atol=5e-4)
+        out2 = write_ca_trace_to_pdb(ca, str(tmp_path / "ca_raw.pdb"), recenter=False)
+        got2 = read_pdb(out2).atom_coords(names=("CA",))
+        np.testing.assert_allclose(got2, ca, atol=5e-4)
+
+    def test_overflow_guard(self, tmp_path):
+        """Coords past the %8.3f column width raise instead of silently
+        writing a malformed PDB with shifted columns."""
+        from foldingdiff_tpu.geometry.pdb import write_ca_trace_to_pdb
+
+        ca = np.zeros((4, 3))
+        ca[0, 0] = 2500.0  # recentering can't bring the spread under 1000
+        ca[1, 0] = -2500.0
+        with pytest.raises(ValueError, match="column width"):
+            write_ca_trace_to_pdb(ca, str(tmp_path / "bad.pdb"))
+        assert not (tmp_path / "bad.pdb").exists()
+        # a large shared offset IS fixed by recentering
+        ok = write_ca_trace_to_pdb(ca * 0 + 5000.0 + np.arange(12).reshape(4, 3),
+                                   str(tmp_path / "ok.pdb"))
+        got = read_pdb(ok).atom_coords(names=("CA",))
+        assert np.abs(got).max() < 1000

@@ -112,3 +112,18 @@ def test_write_valid_preds(tmp_path):
     with open(preds[0]) as f:
         d = json.load(f)
     assert set(d.keys()) == {"known_noise", "predicted_noise", "attn_mask", "losses"}
+
+    # exhaustive-t validation must not silently drop the write request
+    trainer2 = Trainer(BertForDiffusion(CONFIG), sched, tcfg, steps_per_epoch=2)
+    state2 = trainer2.init_state(jax.random.PRNGKey(0), pad=16)
+    trainer2.fit(
+        state2, data, valid_data=data, results_dir=str(tmp_path / "ex"),
+        model_config=CONFIG, train_args={},
+        write_preds_to_dir=str(tmp_path / "ex_valid_preds"),
+        exhaustive_t_validation=True,
+    )
+    ex_preds = sorted(glob.glob(str(tmp_path / "ex_valid_preds" / "*_preds.json")))
+    assert len(ex_preds) == 2
+    with open(ex_preds[0]) as f:
+        d = json.load(f)
+    assert set(d.keys()) == {"known_noise", "predicted_noise", "attn_mask", "losses"}

@@ -137,3 +137,81 @@ def test_multihost_cli_train_end_to_end(tmp_path):
     assert np.isfinite(float(rows[0]["train_loss"]))
     # The global mesh spanned both processes
     assert any("8 global devices" in l for l in logs), logs[0][-2000:]
+
+
+@pytest.mark.slow
+def test_multihost_resume_broadcasts_from_process_0(tmp_path):
+    """Pod preemption + relaunch: only process 0's disk has the train_state
+    checkpoint (artifacts are primary-gated), so resume must restore on
+    process 0 and BROADCAST epoch/params to all processes -- without this,
+    process 1 silently restarts at epoch 0 with fresh weights and the
+    replicate() invariant breaks (trainer.py multi-host resume branch)."""
+    from tests.helpers import make_synthetic_pdb_dir
+
+    pdb_dir = str(tmp_path / "pdbs")
+    make_synthetic_pdb_dir(pdb_dir, n=16, seed=7, min_len=30)
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    from foldingdiff_tpu.data import datasets as dsets
+
+    dsets.AnglesOnlyDataset(
+        pdbs=pdb_dir, pad=48, min_length=0, cache_dir=cache, n_workers=1
+    )
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"save_state_every": 1}, f)
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["FOLDINGDIFF_CACHE_DIR"] = cache
+    outdirs = [str(tmp_path / f"results{i}") for i in range(2)]
+
+    def _launch(epochs: int, resume: bool):
+        port = _free_port()
+        procs = []
+        for i in range(2):
+            cmd = [
+                sys.executable, os.path.join(REPO, "bin", "train.py"), cfg_path,
+                "-o", outdirs[i],
+                "--dataset", pdb_dir,
+                "--epochs", str(epochs),
+                "--batchsize", "8",
+                "--dryrun", "--cpu",
+                "--multihost",
+                "--coordinator", f"localhost:{port}",
+                "--nprocs", "2",
+                "--procid", str(i),
+            ]
+            if resume:
+                cmd.append("--resume")
+            procs.append(subprocess.Popen(
+                cmd, cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+        logs = []
+        for p in procs:
+            stdout, _ = p.communicate(timeout=600)
+            logs.append(stdout)
+            assert p.returncode == 0, f"train process failed:\n{stdout[-4000:]}"
+        return logs
+
+    _launch(epochs=2, resume=False)
+    # Preemption fiction: process 0 has train_state_*, process 1 has nothing
+    assert any(f.startswith("train_state") for f in os.listdir(outdirs[0])), \
+        os.listdir(outdirs[0])
+    assert not os.path.exists(os.path.join(outdirs[1], "train_state"))
+
+    logs = _launch(epochs=4, resume=True)
+    # BOTH processes resumed at epoch 2 via the broadcast (process 1 found no
+    # checkpoint on its own disk)
+    for i, log in enumerate(logs):
+        assert "Resumed train state at epoch 2" in log, f"proc {i}:\n{log[-3000:]}"
+        assert "broadcast to 2 processes" in log, f"proc {i}:\n{log[-3000:]}"
+    # metrics.csv continued from the first leg: 2 + 2 epochs, one header
+    import csv
+
+    with open(os.path.join(outdirs[0], "logs", "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [int(r["epoch"]) for r in rows] == [0, 1, 2, 3]
+    assert all(np.isfinite(float(r["train_loss"])) for r in rows)
