@@ -39,8 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-b", "--batchsize", type=int, default=512)
     parser.add_argument("--seed", type=int, default=int("0x1234", 16))
     parser.add_argument(
-        "--method", type=str, default="ddpm", choices=["ddpm", "ddim"],
-        help="ddpm = reference-parity ancestral; ddim = accelerated",
+        "--method", type=str, default="ddpm", choices=["ddpm", "ddim", "dpmpp"],
+        help="ddpm = reference-parity ancestral; ddim = accelerated; "
+             "dpmpp = DPM-Solver++(2M), fewest steps (--ddim_steps sets both)",
     )
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=0.0)

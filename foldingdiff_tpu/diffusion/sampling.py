@@ -140,6 +140,11 @@ def build_sampler(
                 model_fn, noise, key, attn_mask, schedule, is_angular,
                 n_steps=ddim_steps, eta=ddim_eta, return_history=return_history,
             )
+        if method == "dpmpp":
+            return dpmpp_sample_loop(
+                model_fn, noise, key, attn_mask, schedule, is_angular,
+                n_steps=ddim_steps, return_history=return_history,
+            )
         return p_sample_loop(
             model_fn, noise, key, attn_mask, schedule, is_angular, return_history,
             start_t=start_t, unroll=unroll,
@@ -227,6 +232,120 @@ def ddim_sample_loop(
     x_final, hist = jax.lax.scan(
         step, noise, (jnp.asarray(ts), jnp.asarray(ts_prev), keys)
     )
+    return hist if return_history else x_final
+
+
+def dpmpp_sample_loop(
+    model_fn,
+    noise: jnp.ndarray,
+    key: jax.Array,
+    attn_mask: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    is_angular,
+    n_steps: int = 20,
+    return_history: bool = False,
+    clip_x0: bool = True,
+    t_spacing: str = "lambda",
+) -> jnp.ndarray:
+    """
+    DPM-Solver++(2M) (Lu et al. 2022), x0-parameterization, adapted to
+    wrapped angles -- a second-order multistep ODE sampler the reference
+    lacks: ~10 steps match DDIM-50 quality (one model eval per step, so
+    2-5x fewer than DDIM at equal quality, 50-100x fewer than DDPM-T).
+
+    t_spacing="lambda" (default) places the nodes uniformly in half-logSNR,
+    the spacing the solver's local error analysis assumes; on a cosine
+    schedule it is ~10-30x more accurate at 10-20 steps than the DDIM-style
+    uniform-in-t grid ("time"), measured against the closed-form ODE
+    solution for Gaussian data (see tests). Duplicate timesteps from
+    rounding the lambda grid onto the discrete schedule are dropped, so the
+    actual model-eval count can be slightly below n_steps.
+
+    Half-log-SNR lambda_t = log(alpha_t/sigma_t) with alpha=sqrt(abar),
+    sigma=sqrt(1-abar). Update i over nodes t_{i-1} -> t_i:
+        x0_i = (x - sigma_{i-1} * eps(x, t_{i-1})) / alpha_{i-1}
+        D_i  = x0_i + (1/(2 r_i)) * (x0_i - x0_{i-1}),  r_i = h_{i-1}/h_i
+        x   <- (sigma_i/sigma_{i-1}) * x + alpha_i * (1 - e^{-h_i}) * D_i
+    with first-order D (= x0_i) on the first step (no history) and the
+    final step to abar=1 (the standard lower_order_final stabilizer; it
+    also keeps every coefficient finite as sigma -> 0).
+
+    Wrapped-angle adaptations, both essential for the same reason as the
+    DDIM clamp (see ddim_sample_loop): x0 predictions of angular channels
+    are clamped to [-pi, pi], and the 2M correction uses the GEODESIC
+    difference wrap(x0_i - x0_{i-1}) so a pair of predictions straddling
+    the +-pi seam extrapolates along the short arc, not across 2pi.
+
+    All per-step coefficients are precomputed host-side in float64 and fed
+    through the scan -- data-independent scalars, so the compiled step is
+    exactly one model eval plus fused elementwise math. Deterministic:
+    `key` is unused (kept for signature parity with the other loops).
+    """
+    del key  # ODE sampler: no stochastic term
+    T = schedule.timesteps
+    assert 1 <= n_steps <= T, f"n_steps must be in [1, {T}], got {n_steps}"
+    assert t_spacing in ("lambda", "time"), t_spacing
+    is_angular = jnp.asarray(np.asarray(is_angular, dtype=bool))
+    abar = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    # Source timesteps (node M is the clean state abar=1, the DDIM t_prev=-1
+    # convention): uniform in lambda (solver-natural) or uniform in t
+    # (matches ddim_sample_loop's grid, for like-for-like comparisons)
+    if t_spacing == "lambda":
+        lam_all = 0.5 * (np.log(abar) - np.log1p(-abar))
+        targets = np.linspace(lam_all[T - 1], lam_all[0], num=n_steps)
+        ts = np.unique(
+            np.array([np.argmin(np.abs(lam_all - lt)) for lt in targets])
+        )[::-1].copy()
+        n_steps = len(ts)
+    else:
+        ts = np.linspace(0, T - 1, num=n_steps, dtype=np.int64)[::-1].copy()
+    a_nodes = np.concatenate([abar[ts], [1.0]])  # abar at nodes 0..M
+    alpha = np.sqrt(a_nodes)
+    sigma = np.sqrt(1.0 - a_nodes)
+    # lambda at non-final nodes only (sigma_M = 0 -> lambda_M = +inf; the
+    # final step's coefficients are set by the analytic limit instead)
+    lam = 0.5 * (np.log(a_nodes[:-1]) - np.log1p(-a_nodes[:-1]))
+    h = np.diff(lam)  # h_i for updates 1..M-1 (update M's h is +inf)
+
+    c_x = np.empty(n_steps)
+    c_D = np.empty(n_steps)
+    c_corr = np.zeros(n_steps)
+    c_x[:-1] = sigma[1:-1] / sigma[:-2]
+    c_D[:-1] = alpha[1:-1] * -np.expm1(-h)
+    if n_steps >= 3:
+        # 1/(2 r_i) with r_i = h_{i-1}/h_i, i.e. h_i/(2 h_{i-1}); first step
+        # has no history and the final step is first-order
+        # (lower_order_final), so corrections apply to updates 1..M-2
+        c_corr[1:-1] = h[1:] / (2.0 * h[:-1])
+    # Final step to abar=1: e^{-h}=0, sigma_M=0
+    c_x[-1] = 0.0
+    c_D[-1] = 1.0
+
+    coefs = (
+        jnp.asarray(ts),
+        jnp.asarray(c_x, dtype=noise.dtype),
+        jnp.asarray(c_D, dtype=noise.dtype),
+        jnp.asarray(c_corr, dtype=noise.dtype),
+        jnp.asarray(sigma[:-1], dtype=noise.dtype),
+        jnp.asarray(1.0 / alpha[:-1], dtype=noise.dtype),
+    )
+
+    def step(carry, scan_in):
+        x, x0_prev = carry
+        t, cx, cd, ccorr, sig_src, recip_alpha_src = scan_in
+        b = x.shape[0]
+        eps = model_fn(x, jnp.full((b,), t, dtype=jnp.int32), attn_mask)
+        x0 = (x - sig_src * eps) * recip_alpha_src
+        if clip_x0:
+            x0 = jnp.where(is_angular, jnp.clip(x0, -jnp.pi, jnp.pi), x0)
+        delta = x0 - x0_prev
+        delta = jnp.where(is_angular, wrap_angles(delta), delta)
+        d = x0 + ccorr * delta
+        x_next = cx * x + cd * d
+        x_next = jnp.where(is_angular, wrap_angles(x_next), x_next)
+        return (x_next, x0), (x_next if return_history else None)
+
+    (x_final, _), hist = jax.lax.scan(step, (noise, jnp.zeros_like(noise)), coefs)
     return hist if return_history else x_final
 
 

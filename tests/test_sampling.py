@@ -339,3 +339,115 @@ class TestDDIMClip(_TinyModelMixin):
         # without the clamp the angular wrap still bounds the FINAL state, but
         # the trajectories diverge -- the clamp changes the dynamics
         assert not np.allclose(clipped, un)
+
+
+class TestDPMpp(_TinyModelMixin):
+    def test_exact_on_affine_model(self):
+        """Solver exactness gate: when eps(x, t) = (x - alpha_t x0*)/sigma_t
+        (the true noise for one known clean signal), x0_pred == x0* for EVERY
+        x and t, so the probability-flow ODE's exact solution lands on x0*
+        at t=0 -- and DPM-Solver++ must reproduce it to float precision for
+        ANY step count and ANY starting noise. Catches sign/indexing errors
+        in every coefficient (c_x, c_D, and the final-step limit)."""
+        from foldingdiff_tpu.diffusion.sampling import dpmpp_sample_loop
+
+        sched = DiffusionSchedule.create("cosine", 100)
+        rng = np.random.default_rng(0)
+        x0_star = jnp.asarray(
+            rng.uniform(-3.0, 3.0, size=(1, 1, 6)).astype(np.float32)
+            * np.ones((3, 16, 6), np.float32)
+        )
+        abar = sched.alphas_cumprod
+
+        def model_fn(x, t_vec, m):
+            a = abar[t_vec][:, None, None]
+            return (x - jnp.sqrt(a) * x0_star) / jnp.sqrt(1.0 - a)
+
+        noise = sample_wrapped_noise(jax.random.PRNGKey(0), (3, 16, 6), IS_ANGULAR)
+        mask = jnp.ones((3, 16))
+        for n_steps in (1, 2, 3, 10):
+            out = np.asarray(
+                dpmpp_sample_loop(model_fn, noise, jax.random.PRNGKey(1), mask,
+                                  sched, IS_ANGULAR, n_steps=n_steps)
+            )
+            # atol covers f32 round-off through the 1/alpha_T amplification
+            # (~6e-4 at n_steps=1); a coefficient sign/indexing error is O(1)
+            np.testing.assert_allclose(
+                out, modulo_with_wrapped_range(np.asarray(x0_star), -np.pi, np.pi),
+                atol=2e-3, err_msg=f"n_steps={n_steps}",
+            )
+
+    def test_deterministic_and_wrapped(self):
+        from foldingdiff_tpu.diffusion.sampling import dpmpp_sample_loop
+
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 50)
+        noise = sample_wrapped_noise(jax.random.PRNGKey(0), (2, 16, 6), IS_ANGULAR)
+        mask = jnp.ones((2, 16))
+
+        def model_fn(x, t, m):
+            return model.apply(variables, x, t, m, deterministic=True)
+
+        a = dpmpp_sample_loop(model_fn, noise, jax.random.PRNGKey(1), mask, sched,
+                              IS_ANGULAR, n_steps=10)
+        b = dpmpp_sample_loop(model_fn, noise, jax.random.PRNGKey(2), mask, sched,
+                              IS_ANGULAR, n_steps=10)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.abs(np.asarray(a)).max() <= np.pi + 1e-6
+
+    def test_second_order_beats_ddim_on_true_score(self):
+        """Order-of-accuracy gate on a model where solver theory actually
+        applies: for x0 ~ N(mu, s^2), the optimal noise prediction is
+        analytic (eps*(x,t) = (x - alpha_t E[x0|x]) / sigma_t with
+        E[x0|x] = (alpha s^2 x + sigma^2 mu) / (alpha^2 s^2 + sigma^2)),
+        giving a smooth true probability-flow ODE. Both samplers from the
+        same x_T must then converge to the fine-grid solution -- and
+        10-step DPM-Solver++ (2nd order) must land closer than 10-step DDIM
+        (1st order). A random-weights net can't serve here: it is not a
+        consistent score field, so different-order solvers legitimately
+        diverge on it. Non-angular features isolate pure ODE math from the
+        wrap/clamp adaptations (covered by the other tests)."""
+        from foldingdiff_tpu.diffusion.sampling import ddim_sample_loop, dpmpp_sample_loop
+
+        T = 200
+        sched = DiffusionSchedule.create("cosine", T)
+        nonang = [False] * 6
+        mu, s = 0.5, 0.7
+        abar = sched.alphas_cumprod
+
+        def model_fn(x, t_vec, m):
+            a = abar[t_vec][:, None, None]
+            alpha, var = jnp.sqrt(a), 1.0 - a
+            x0_post = (alpha * s**2 * x + var * mu) / (a * s**2 + var)
+            return (x - alpha * x0_post) / jnp.sqrt(var)
+
+        noise = sample_wrapped_noise(jax.random.PRNGKey(0), (4, 16, 6), nonang)
+        mask = jnp.ones((4, 16))
+        kw = dict(attn_mask=mask, schedule=sched, is_angular=nonang)
+        ref = np.asarray(ddim_sample_loop(
+            model_fn, noise, jax.random.PRNGKey(1), n_steps=T, **kw))
+        ddim10 = np.asarray(ddim_sample_loop(
+            model_fn, noise, jax.random.PRNGKey(1), n_steps=10, **kw))
+        dpmpp10 = np.asarray(dpmpp_sample_loop(
+            model_fn, noise, jax.random.PRNGKey(1), n_steps=10, **kw))
+        err_ddim = np.mean(np.abs(ddim10 - ref))
+        err_dpmpp = np.mean(np.abs(dpmpp10 - ref))
+        # lambda-uniform 2nd-order solver: ~10x better than DDIM-10 here
+        assert err_dpmpp < 0.5 * err_ddim, (err_dpmpp, err_ddim)
+        assert err_dpmpp < 0.02, err_dpmpp
+        # uniform-in-t spacing must also at least converge (looser bound)
+        dpmpp10_t = np.asarray(dpmpp_sample_loop(
+            model_fn, noise, jax.random.PRNGKey(1), n_steps=10,
+            t_spacing="time", **kw))
+        assert np.mean(np.abs(dpmpp10_t - ref)) < 0.2
+
+    def test_sample_with_dpmpp_method(self):
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 100)
+        out = samp.sample(
+            model, variables["params"], variables["constants"], sched,
+            is_angular=IS_ANGULAR, pad=32, n=1, sweep_lengths=(10, 12), batch_size=4,
+            method="dpmpp", ddim_steps=10, seed=0,
+        )
+        assert len(out) == 2 and out[0].shape == (10, 6)
+        assert all(np.isfinite(s).all() for s in out)
