@@ -33,10 +33,10 @@ def main():
     parser.add_argument("--n-pdb", type=int, default=128,
                         help="how many sampled structures to write as PDBs for "
                         "structural stats")
-    parser.add_argument("--method", choices=["ddpm", "ddim"], default="ddpm",
-                        help="ddpm = reference-parity ancestral sampling; ddim "
-                        "= the accelerated sampler (quality evidence for the "
-                        "DDIM speedup)")
+    parser.add_argument("--method", choices=["ddpm", "ddim", "dpmpp"], default="ddpm",
+                        help="ddpm = reference-parity ancestral sampling; ddim/"
+                        "dpmpp = the accelerated samplers (quality evidence "
+                        "for the speedups; --ddim-steps sets both)")
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
     parser.add_argument("--best-by", choices=["valid", "train", "swa"],

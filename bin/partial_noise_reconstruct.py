@@ -55,7 +55,12 @@ def main():
     parser.add_argument("-b", "--batchsize", type=int, default=512)
     parser.add_argument("-o", "--outjson", type=str, default="reconstruction_tm.json")
     parser.add_argument("--nsubset", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = parser.parse_args()
+
+    from foldingdiff_tpu.utils_platform import maybe_force_cpu
+
+    maybe_force_cpu(args.cpu)
 
     from foldingdiff_tpu.data import datasets as dsets
     from foldingdiff_tpu.diffusion import sampling as samp

@@ -98,11 +98,9 @@ def main():
     import pandas as pd
 
     args = build_parser().parse_args()
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+    from foldingdiff_tpu.utils_platform import maybe_force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+    maybe_force_cpu(args.cpu)
 
     from foldingdiff_tpu.data.datasets import AnglesEmptyDataset
     from foldingdiff_tpu.diffusion import sampling as samp

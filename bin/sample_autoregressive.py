@@ -38,7 +38,12 @@ def main():
     parser.add_argument("--numseed", type=int, default=4)
     parser.add_argument("-o", "--outdir", type=str, default="ar_sampled")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = parser.parse_args()
+
+    from foldingdiff_tpu.utils_platform import maybe_force_cpu
+
+    maybe_force_cpu(args.cpu)
 
     import json
 

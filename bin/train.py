@@ -71,11 +71,9 @@ def maybe_init_distributed(
 
 def main():
     args = build_parser().parse_args()
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+    from foldingdiff_tpu.utils_platform import maybe_force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+    maybe_force_cpu(args.cpu)
     maybe_init_distributed(args.multihost, args.coordinator, args.nprocs, args.procid)
 
     from foldingdiff_tpu.training.orchestration import train

@@ -30,11 +30,9 @@ def main():
     parser.add_argument("--epochs", default=None, type=int)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+    from foldingdiff_tpu.utils_platform import maybe_force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
+    maybe_force_cpu(args.cpu)
 
     import jax
 

@@ -112,8 +112,9 @@ def build_sampler(
 ):
     """
     jit-compiled sampler closure. Weights are closed over; one compilation per
-    (batch, length) shape. method: "ddpm" (ancestral, reference-parity) or
-    "ddim" (accelerated, ddim_steps model evals).
+    (batch, length) shape. method: "ddpm" (ancestral, reference-parity),
+    "ddim" (accelerated, ddim_steps model evals), or "dpmpp"
+    (DPM-Solver++(2M), ddim_steps sets its step budget too).
 
     gen_noise=False: signature (noise, attn_mask, key) -- caller provides x_T
     (used by partial-noise reconstruction).

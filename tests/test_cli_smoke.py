@@ -108,14 +108,19 @@ def test_train_then_sample_cart_coords(workspace):
 
     df = pd.read_csv(csvs[0])
     assert list(df.columns) == ["x", "y", "z"]
+    # CA-trace PDB contract: the writer recenters and REFUSES coords past
+    # the fixed-width %8.3f columns, and the CLI skips those samples with a
+    # logged warning instead of emitting malformed files. An UNTRAINED
+    # cart-coords model usually drifts past the limit (no angular wrap
+    # bounds the chain), so accept written-or-skipped per sample -- but
+    # every file that IS written must be well-formed. (The data-scale
+    # roundtrip is unit-tested in test_angles_and_coords.)
     pdbs = sorted((workspace / "sampled_cart" / "sampled_pdb").glob("*.pdb"))
-    assert len(pdbs) == 2
-    # CA-trace PDBs: one CA atom per residue. (An UNTRAINED model emits
-    # coords far outside the fixed-width PDB column range, so count ATOM
-    # records rather than parse; the roundtrip with data-scale coords is
-    # unit-tested in test_angles_and_coords.)
-    n_atoms = sum(1 for l in open(pdbs[0]) if l.startswith("ATOM"))
-    assert n_atoms in (30, 31)
+    skipped = r.stderr.count("Skipping sample")
+    assert len(pdbs) + skipped == 2, (len(pdbs), skipped, r.stderr[-1500:])
+    for p in pdbs:
+        n_atoms = sum(1 for l in open(p) if l.startswith("ATOM"))
+        assert n_atoms in (30, 31)
 
 
 def test_sample_random_angles_cli(workspace):
