@@ -44,6 +44,9 @@ def main():
                         help="which checkpoint family to load (swa = the "
                         "tail-averaged weights saved by TrainConfig.use_swa)")
     args = parser.parse_args()
+    from foldingdiff_tpu.utils_platform import maybe_force_cpu
+
+    maybe_force_cpu()  # honor an inherited JAX_PLATFORMS=cpu
     # DDIM/SWA results go to suffixed artifacts so the reference-parity DDPM
     # artifacts are never clobbered
     suffix = "" if args.method == "ddpm" else (
