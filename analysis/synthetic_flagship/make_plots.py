@@ -143,6 +143,29 @@ def main():
     )
     print(f"wrote {out}")
 
+    # 4b. Sampler comparison: marginal CDFs of every accelerated sampler's
+    # sweep that has a sampled_pdb_<suffix> dir, overlaid on DDPM + test
+    # (the quality table in analysis/README.md, as a picture)
+    sampler_values = {"test split": test_angles, "DDPM-1000": gen_angles}
+    for suffix, label in [("ddim50", "DDIM-50"), ("dpmpp20", "DPM++-20")]:
+        pdbs = sorted(glob.glob(os.path.join(args.results, f"sampled_pdb_{suffix}", "*.pdb")))
+        if not pdbs:
+            continue
+        rows = []
+        for f in pdbs:
+            df = canonical_distances_and_dihedrals(f, distances=[], angles=EXHAUSTIVE_ANGLES)
+            if df is not None:
+                rows.append(df.values)
+        if rows:
+            sampler_values[label] = np.concatenate(rows)
+    if len(sampler_values) > 2:
+        out = plots.plot_distribution_overlap(
+            sampler_values, os.path.join(args.outdir, "sampler_comparison_cdf.png"),
+            EXHAUSTIVE_ANGLES, cumulative=True,
+            title="Angle CDFs by sampler vs test split",
+        )
+        print(f"wrote {out}")
+
     # 5. SS co-occurrence: generated + test structures
     ss_gen = [s for s in count_structures_parallel(sampled_pdbs) if s != (-1, -1)]
     out = plots.plot_ss_cooccurrence(
