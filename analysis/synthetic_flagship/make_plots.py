@@ -83,15 +83,21 @@ def main():
 
     # 2. Angles of the generated structures (re-featurized from the sampled
     # PDBs, so these plots reflect exactly what was written to disk)
+    def featurize_pdb_dir(pdb_dir):
+        """Re-featurize every PDB in a directory -> stacked (N, 6) angles, or
+        None if the dir is empty (shared by the DDPM plots and the sampler-
+        comparison panel so all curves use identical featurization)."""
+        rows = []
+        for f in sorted(glob.glob(os.path.join(pdb_dir, "*.pdb"))):
+            df = canonical_distances_and_dihedrals(f, distances=[], angles=EXHAUSTIVE_ANGLES)
+            if df is not None:
+                rows.append(df.values)
+        return np.concatenate(rows) if rows else None
+
     sampled_pdbs = sorted(glob.glob(os.path.join(args.results, "sampled_pdb", "*.pdb")))
     assert sampled_pdbs, f"no sampled PDBs under {args.results}"
-    gen_rows = []
-    for f in sampled_pdbs:
-        df = canonical_distances_and_dihedrals(f, distances=[], angles=EXHAUSTIVE_ANGLES)
-        if df is not None:
-            gen_rows.append(df.values)
-    gen_angles = np.concatenate(gen_rows)
-    print(f"featurized {len(gen_rows)} generated structures -> {len(gen_angles)} residues")
+    gen_angles = featurize_pdb_dir(os.path.join(args.results, "sampled_pdb"))
+    print(f"featurized {len(sampled_pdbs)} generated structures -> {len(gen_angles)} residues")
 
     # Held-out test split of the training corpus (same seed-6489 split)
     with open(os.path.join(args.results, "training_args.json")) as f:
@@ -148,16 +154,9 @@ def main():
     # (the quality table in analysis/README.md, as a picture)
     sampler_values = {"test split": test_angles, "DDPM-1000": gen_angles}
     for suffix, label in [("ddim50", "DDIM-50"), ("dpmpp20", "DPM++-20")]:
-        pdbs = sorted(glob.glob(os.path.join(args.results, f"sampled_pdb_{suffix}", "*.pdb")))
-        if not pdbs:
-            continue
-        rows = []
-        for f in pdbs:
-            df = canonical_distances_and_dihedrals(f, distances=[], angles=EXHAUSTIVE_ANGLES)
-            if df is not None:
-                rows.append(df.values)
-        if rows:
-            sampler_values[label] = np.concatenate(rows)
+        angles = featurize_pdb_dir(os.path.join(args.results, f"sampled_pdb_{suffix}"))
+        if angles is not None:
+            sampler_values[label] = angles
     if len(sampler_values) > 2:
         out = plots.plot_distribution_overlap(
             sampler_values, os.path.join(args.outdir, "sampler_comparison_cdf.png"),

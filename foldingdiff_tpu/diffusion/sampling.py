@@ -131,6 +131,12 @@ def build_sampler(
     mappings differ from releases before the flagship rerun.
     """
     variables = {"params": params, "constants": constants}
+    # Partial chains (start_t, used by partial-noise reconstruction) are a
+    # DDPM-ancestral concept here: the accelerated samplers' node grids
+    # start at t=T-1, so running them on a q-sampled x_{start_t} input would
+    # silently apply the wrong inversion. Fail loudly instead.
+    if start_t is not None and method != "ddpm":
+        raise ValueError(f"start_t is only supported with method='ddpm', got {method!r}")
 
     def model_fn(x, t_vec, mask):
         return model.apply(variables, x, t_vec, mask, deterministic=True)
@@ -258,9 +264,9 @@ def dpmpp_sample_loop(
     the spacing the solver's local error analysis assumes; on a cosine
     schedule it is ~10-30x more accurate at 10-20 steps than the DDIM-style
     uniform-in-t grid ("time"), measured against the closed-form ODE
-    solution for Gaussian data (see tests). Duplicate timesteps from
-    rounding the lambda grid onto the discrete schedule are dropped, so the
-    actual model-eval count can be slightly below n_steps.
+    solution for Gaussian data (see tests). Rounding the lambda grid onto
+    the discrete schedule resolves collisions to neighboring timesteps, so
+    the chain always runs EXACTLY n_steps model evals.
 
     Half-log-SNR lambda_t = log(alpha_t/sigma_t) with alpha=sqrt(abar),
     sigma=sqrt(1-abar). Update i over nodes t_{i-1} -> t_i:
@@ -294,10 +300,21 @@ def dpmpp_sample_loop(
     if t_spacing == "lambda":
         lam_all = 0.5 * (np.log(abar) - np.log1p(-abar))
         targets = np.linspace(lam_all[T - 1], lam_all[0], num=n_steps)
-        ts = np.unique(
-            np.array([np.argmin(np.abs(lam_all - lt)) for lt in targets])
-        )[::-1].copy()
-        n_steps = len(ts)
+        # Nearest discrete timestep per lambda target, with collisions
+        # resolved to the next free node so the result is EXACTLY n_steps
+        # strictly-decreasing timesteps (plain rounding+unique silently
+        # dropped 10-35% of the requested evals at T=1000, misstating the
+        # compute budget): each mapped t is clamped below the previous node
+        # and above the count still needed after it.
+        nodes = []
+        prev = T
+        for k, lt in enumerate(targets):
+            t = int(np.argmin(np.abs(lam_all - lt)))
+            t = min(t, prev - 1)
+            t = max(t, n_steps - k - 1)
+            nodes.append(t)
+            prev = t
+        ts = np.asarray(nodes, dtype=np.int64)
     else:
         ts = np.linspace(0, T - 1, num=n_steps, dtype=np.int64)[::-1].copy()
     a_nodes = np.concatenate([abar[ts], [1.0]])  # abar at nodes 0..M

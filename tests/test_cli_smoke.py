@@ -112,15 +112,22 @@ def test_train_then_sample_cart_coords(workspace):
     # the fixed-width %8.3f columns, and the CLI skips those samples with a
     # logged warning instead of emitting malformed files. An UNTRAINED
     # cart-coords model usually drifts past the limit (no angular wrap
-    # bounds the chain), so accept written-or-skipped per sample -- but
-    # every file that IS written must be well-formed. (The data-scale
+    # bounds the chain), so predict written-vs-skipped PER SAMPLE from the
+    # sampled coordinates themselves -- the test can't pass vacuously with
+    # zero files unless every sample genuinely overflows. (The data-scale
     # roundtrip is unit-tested in test_angles_and_coords.)
-    pdbs = sorted((workspace / "sampled_cart" / "sampled_pdb").glob("*.pdb"))
+    pdbs = {p.name for p in (workspace / "sampled_cart" / "sampled_pdb").glob("*.pdb")}
     skipped = r.stderr.count("Skipping sample")
     assert len(pdbs) + skipped == 2, (len(pdbs), skipped, r.stderr[-1500:])
-    for p in pdbs:
-        n_atoms = sum(1 for l in open(p) if l.startswith("ATOM"))
-        assert n_atoms in (30, 31)
+    for i, c in enumerate(sorted(csvs)):
+        xyz = pd.read_csv(c)[["x", "y", "z"]].values
+        should_write = np.all(np.abs(xyz - xyz.mean(0)) < 1000.0)
+        name = f"generated_{i}.pdb"
+        assert (name in pdbs) == should_write, (name, should_write, pdbs)
+        if should_write:
+            p = workspace / "sampled_cart" / "sampled_pdb" / name
+            n_atoms = sum(1 for l in open(p) if l.startswith("ATOM"))
+            assert n_atoms in (30, 31)
 
 
 def test_sample_random_angles_cli(workspace):

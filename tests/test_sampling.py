@@ -441,6 +441,39 @@ class TestDPMpp(_TinyModelMixin):
             t_spacing="time", **kw))
         assert np.mean(np.abs(dpmpp10_t - ref)) < 0.2
 
+    def test_exact_eval_count_at_flagship_schedule(self):
+        """The lambda grid is steep at both ends of a T=1000 cosine schedule;
+        naive rounding+dedup dropped 10-35% of the requested steps (n=20 ran
+        15 evals), misstating the compute budget. Collision resolution must
+        yield EXACTLY n_steps model evals -- observable as history frames."""
+        from foldingdiff_tpu.diffusion.sampling import dpmpp_sample_loop
+
+        sched = DiffusionSchedule.create("cosine", 1000)
+        noise = sample_wrapped_noise(jax.random.PRNGKey(0), (1, 8, 6), IS_ANGULAR)
+        mask = jnp.ones((1, 8))
+
+        def model_fn(x, t, m):
+            return jnp.zeros_like(x)
+
+        for n_steps in (1, 2, 10, 20, 50):
+            hist = dpmpp_sample_loop(model_fn, noise, jax.random.PRNGKey(1), mask,
+                                     sched, IS_ANGULAR, n_steps=n_steps,
+                                     return_history=True)
+            assert hist.shape[0] == n_steps, (n_steps, hist.shape)
+
+    def test_start_t_rejected_for_accelerated_methods(self):
+        """Partial chains (start_t) assume the DDPM ancestral grid; the
+        accelerated samplers would apply the t=T-1 inversion to an x_{start_t}
+        input and silently produce garbage -- must raise instead."""
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 100)
+        from foldingdiff_tpu.diffusion.sampling import build_sampler
+
+        for method in ("dpmpp", "ddim"):
+            with pytest.raises(ValueError, match="start_t"):
+                build_sampler(model, variables["params"], variables["constants"],
+                              sched, IS_ANGULAR, start_t=50, method=method)
+
     def test_sample_with_dpmpp_method(self):
         model, variables = self.get_model()
         sched = DiffusionSchedule.create("cosine", 100)
