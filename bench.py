@@ -58,6 +58,9 @@ def main():
 
 
 def _run_bench(degraded: bool = False):
+    from foldingdiff_tpu.utils_platform import maybe_force_cpu
+
+    maybe_force_cpu()  # honor an inherited JAX_PLATFORMS=cpu (smoke runs)
     import jax
 
     from foldingdiff_tpu.diffusion import sampling as samp
@@ -119,9 +122,14 @@ def _run_bench(degraded: bool = False):
     # cost of proportionally longer compiles; worthwhile here because the
     # persistent compile cache amortizes them across bench runs
     unroll = int(os.environ.get("BENCH_UNROLL", "4"))
+    # BENCH_METHOD=ddim|dpmpp benchmarks the accelerated samplers
+    # (BENCH_STEPS sets their eval budget); the DEFAULT stays the
+    # reference-parity DDPM manuscript protocol that vs_baseline refers to
+    method = os.environ.get("BENCH_METHOD", "ddpm")
     sampler = samp.build_sampler(
         model, variables["params"], variables["constants"], schedule, [True] * 6,
         gen_noise=True, n_ft=6, unroll=unroll,
+        method=method, ddim_steps=int(os.environ.get("BENCH_STEPS", "20")),
     )
     # Mirror sample()'s bucket-aware chunking to enumerate compiled shapes
     lengths = [l for l in range(50, 128) for _ in range(n_per_length)]
@@ -169,7 +177,11 @@ def _run_bench(degraded: bool = False):
         t0 = time.perf_counter()
         jax.block_until_ready(sampler(probe_mask, np.uint32(1234), np.uint32(0), np.uint32(i)))
         probe_times.append(time.perf_counter() - t0)
-    step_ms = min(probe_times) / timesteps * 1000.0
+    # Accelerated samplers run BENCH_STEPS model evals, not T
+    evals_per_chain = (
+        timesteps if method == "ddpm" else int(os.environ.get("BENCH_STEPS", "20"))
+    )
+    step_ms = min(probe_times) / evals_per_chain * 1000.0
 
     loadavg_start = os.getloadavg()
     rep_times = []
@@ -192,6 +204,8 @@ def _run_bench(degraded: bool = False):
         "vs_baseline": round(rate / baseline_rate, 2),
         "n_structures": n_structures,
         "timesteps": timesteps,
+        "method": method,
+        "evals_per_chain": evals_per_chain,
         "batch_size": batch_size,
         "wall_clock_sec": round(elapsed, 2),
         "rep_wall_clock_sec": [round(t, 2) for t in rep_times],
@@ -199,7 +213,7 @@ def _run_bench(degraded: bool = False):
         # Device-time floor for just the probe-bucket chunks; the remaining
         # (smaller-bucket) chunks add less. wall_clock >> this floor means
         # the run was host/tunnel-contended, not a device regression.
-        "device_floor_sec": round(step_ms / 1000.0 * timesteps * n_probe_chunks, 1),
+        "device_floor_sec": round(step_ms / 1000.0 * evals_per_chain * n_probe_chunks, 1),
         "n_chunks": n_chunks,
         "loadavg_start": round(loadavg_start[0], 2),
         "loadavg_end": round(loadavg_end[0], 2),
