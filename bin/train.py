@@ -101,7 +101,6 @@ def main():
 
 
 if __name__ == "__main__":
-    os.makedirs("logs", exist_ok=True) if False else None
     curr_time = datetime.now().strftime("%y%m%d_%H%M%S")
     logging.basicConfig(
         level=logging.INFO,

@@ -92,6 +92,14 @@ def main():
     )
     train_data = train_ds.to_arrays()
     valid_data = valid_ds.to_arrays() if valid_ds is not None else None
+    # Per-epoch randomcrop augmentation for >pad structures (reference
+    # datasets.py:411-438), same wiring as the diffusion orchestration
+    train_data_refresh = None
+    if config.get("trim_strategy") == "randomcrop" and train_ds.over_pad_indices:
+        seed0 = int(config.get("seed", 42))
+
+        def train_data_refresh(epoch, _arrays=train_data, _ds=train_ds, _seed=seed0):
+            return _ds.refresh_crops_(_arrays, epoch_seed=_seed * 1_000_003 + epoch)
     trainer = ARTrainer(
         BertForAutoregressive(model_config), tcfg,
         steps_per_epoch=max(len(train_ds) // tcfg.batch_size, 1),
@@ -106,7 +114,7 @@ def main():
     state, rows = trainer.fit(
         state, train_data, valid_data=valid_data, results_dir=str(results),
         model_config=model_config, train_args=train_args, mean_offset=mean_offset,
-        log_every=1,
+        log_every=1, train_data_refresh=train_data_refresh,
     )
     logging.info(f"AR training done: final train loss {rows[-1]['train_loss']:.4f}")
 

@@ -266,7 +266,9 @@ class AngleDataset:
     def _feature_subset(self, angles: np.ndarray) -> np.ndarray:
         return angles  # base class keeps all 9
 
-    def __getitem__(self, index: int, ignore_zero_center: bool = False) -> Dict[str, np.ndarray]:
+    def __getitem__(
+        self, index: int, ignore_zero_center: bool = False, crop_rng=None
+    ) -> Dict[str, np.ndarray]:
         if not 0 <= index < len(self):
             raise IndexError("Index out of range")
         angles_df = self.structures[index]["angles"]
@@ -298,7 +300,8 @@ class AngleDataset:
                 angles = angles[: self.pad]
                 coords = coords[: self.pad]
             elif self.trim_strategy == "randomcrop":
-                start = self.rng.integers(0, angles.shape[0] - self.pad)
+                r = crop_rng if crop_rng is not None else self.rng
+                start = r.integers(0, angles.shape[0] - self.pad)
                 angles = angles[start : start + self.pad]
                 coords = coords[start : start + self.pad]
             else:
@@ -316,10 +319,45 @@ class AngleDataset:
             "lengths": np.int64(l),
         }
 
-    def to_arrays(self) -> Dict[str, np.ndarray]:
+    def to_arrays(self, crop_rng=None) -> Dict[str, np.ndarray]:
         """Stack the whole dataset into dense arrays for device feeding."""
-        items = [self[i] for i in range(len(self))]
+        items = [self.__getitem__(i, crop_rng=crop_rng) for i in range(len(self))]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    @functools.cached_property
+    def over_pad_indices(self) -> List[int]:
+        """Indices of structures longer than pad (the ones randomcrop crops)."""
+        return [i for i, s in enumerate(self.structures) if len(s["angles"]) > self.pad]
+
+    def refresh_crops_(self, arrays: Dict[str, np.ndarray], epoch_seed: int) -> Dict[str, np.ndarray]:
+        """Re-draw the random crop of every >pad structure, IN PLACE.
+
+        The reference crops afresh at every ``__getitem__`` (reference
+        datasets.py:411-438), so each training epoch sees a different
+        pad-window of each long domain -- that re-cropping IS the data
+        augmentation the paper config (pad-128 randomcrop over CATH domains
+        mostly >128) trains with. Stacked-array device feeding froze the crop
+        at ``to_arrays()`` time; calling this at the top of every epoch
+        restores the augmentation at O(n_long) host cost. Crops are a pure
+        function of ``epoch_seed``, so resumed runs see the same window
+        sequence as uninterrupted ones, and every multi-host process derives
+        identical batches. No-op (arrays untouched) unless
+        ``trim_strategy == "randomcrop"`` and some structure exceeds pad.
+        """
+        if self.trim_strategy != "randomcrop" or not self.over_pad_indices:
+            return arrays
+        rng = np.random.default_rng(int(epoch_seed) & 0x7FFFFFFFFFFFFFFF)
+        for i in self.over_pad_indices:
+            item = self.__getitem__(i, crop_rng=rng)
+            for k, arr in arrays.items():
+                src = item.get(k)
+                if src is None and k == "angles":
+                    # cart-coords arrays are renamed coords->angles by the
+                    # training orchestration (orchestration.py _as_train_arrays)
+                    src = item.get("coords")
+                if src is not None:
+                    arr[i] = src
+        return arrays
 
     def get_feature_mean_var(self, ft_name: str):
         """(mean, var) of one feature over unmasked positions
@@ -375,8 +413,10 @@ class CoordsDataset(AngleDataset):
     feature_names = {"coords": ["x", "y", "z"]}
     feature_is_angular = {"coords": [False, False, False]}
 
-    def __getitem__(self, index: int, ignore_zero_center: bool = True):
-        item = super().__getitem__(index, ignore_zero_center=ignore_zero_center)
+    def __getitem__(self, index: int, ignore_zero_center: bool = True, crop_rng=None):
+        item = super().__getitem__(
+            index, ignore_zero_center=ignore_zero_center, crop_rng=crop_rng
+        )
         item.pop("angles", None)
         return item
 

@@ -102,6 +102,7 @@ class ARTrainer:
         train_args: Optional[dict] = None,
         mean_offset=None,
         log_every: int = 0,
+        train_data_refresh=None,
     ) -> Tuple[TrainState, List[Dict[str, float]]]:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
@@ -117,6 +118,10 @@ class ARTrainer:
                 os.remove(stale)
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
+            if train_data_refresh is not None:
+                # Per-epoch randomcrop re-cropping of >pad structures (same
+                # hook as the diffusion Trainer; reference datasets.py:411-438)
+                train_data = train_data_refresh(epoch)
             tl = []
             n = train_data["angles"].shape[0]
             idx = host_rng.permutation(n)

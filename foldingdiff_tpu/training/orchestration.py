@@ -118,6 +118,7 @@ def train(
     multithread: bool = True,
     subset=False,
     exhaustive_validation_t: bool = False,
+    validation_t_points: int = 16,  # timestep grid size; <=0 = every t in [0, T)
     syn_noiser: str = "",
     single_angle_debug: int = -1,
     single_timestep_debug: bool = False,
@@ -227,6 +228,21 @@ def train(
     train_data = _as_train_arrays(train_ds)
     valid_data = _as_train_arrays(valid_ds) if valid_ds is not None else None
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
+
+    # Per-epoch randomcrop augmentation (reference datasets.py:411-438: a
+    # fresh pad-window of each >pad structure at every __getitem__, i.e. every
+    # epoch). Only the long items are re-stacked -- O(n_long) host work per
+    # epoch. Validation crops stay frozen for a deterministic val metric
+    # (documented deviation, docs/migration.md).
+    train_data_refresh = None
+    if trim_strategy == "randomcrop" and train_ds.over_pad_indices:
+        logging.info(
+            f"randomcrop: re-cropping {len(train_ds.over_pad_indices)} structures "
+            f"> pad={max_seq_len} at every epoch"
+        )
+
+        def train_data_refresh(epoch, _arrays=train_data, _ds=train_ds, _seed=seed):
+            return _ds.refresh_crops_(_arrays, epoch_seed=_seed * 1_000_003 + epoch)
 
     tcfg = TrainConfig(
         lr=lr,
@@ -339,6 +355,8 @@ def train(
         save_state_every=save_state_every,
         write_preds_to_dir=str(results_folder / "valid_preds") if write_valid_preds else None,
         exhaustive_t_validation=exhaustive_validation_t,
+        exhaustive_t_points=validation_t_points,
+        train_data_refresh=train_data_refresh,
     )
 
     if not dryrun and primary:

@@ -485,6 +485,8 @@ class Trainer:
         write_preds_to_dir: Optional[str] = None,
         handle_preemption: bool = True,
         exhaustive_t_validation: bool = False,
+        exhaustive_t_points: int = 16,
+        train_data_refresh=None,
     ) -> Tuple[TrainState, List[Dict[str, float]]]:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
@@ -579,6 +581,12 @@ class Trainer:
 
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
+            if train_data_refresh is not None:
+                # Per-epoch data augmentation hook (randomcrop re-cropping of
+                # >pad structures, reference datasets.py:411-438). Keyed by
+                # epoch, so a resumed run sees the same crop sequence and all
+                # multi-host processes derive identical batches.
+                train_data = train_data_refresh(epoch)
             # Keep per-step losses as device arrays and fetch ONCE at epoch
             # end: a float()/np.asarray() per step is a blocking host
             # round-trip (seconds each through a remote-dispatch tunnel) that
@@ -644,8 +652,18 @@ class Trainer:
                 # instead of one random t per item -- much lower variance, so
                 # top-k-by-val selection stops chasing sampling noise. Seeded
                 # per epoch so repeated runs are reproducible.
+                # exhaustive_t_points <= 0 selects the FULL per-timestep
+                # sweep (every t in [0, T) -- the reference's len*T exhaustive
+                # validation set, datasets.py:812-825); positive values use a
+                # stratified grid of that many timesteps (cheaper, low
+                # variance). linspace with num=T enumerates every integer t.
+                n_t = (
+                    self.schedule.timesteps
+                    if exhaustive_t_points <= 0
+                    else min(int(exhaustive_t_points), self.schedule.timesteps)
+                )
                 ex_terms = self.eval_exhaustive_t(
-                    state, valid_data, seed=cfg.seed + epoch
+                    state, valid_data, n_t=n_t, seed=cfg.seed + epoch
                 )
                 val_terms[: len(ex_terms)] = ex_terms
                 val_loss = float(np.mean(ex_terms))

@@ -314,6 +314,35 @@ def test_exhaustive_t_validation_flag_changes_behavior(train_setup):
     assert a != c, "flag must actually change the validation computation"
 
 
+def test_exhaustive_t_points_key_changes_behavior(train_setup):
+    """`validation_t_points` (train() config key -> fit(exhaustive_t_points))
+    must change the measured validation: different grid sizes give different
+    losses, and <=0 selects the FULL per-timestep sweep (reference
+    datasets.py:812-825), identical to passing n_t = T explicitly."""
+    ds = train_setup
+    data = {k: v[:8] for k, v in ds.to_arrays().items()}
+    T = 25
+    sched = DiffusionSchedule.create("cosine", T)
+
+    def run(n_points):
+        tcfg = TrainConfig(lr=1e-4, batch_size=8, max_epochs=1, lr_scheduler=None, seed=0)
+        model = BertForDiffusion(CONFIG)
+        trainer = Trainer(model, sched, tcfg, steps_per_epoch=1)
+        state = trainer.init_state(jax.random.PRNGKey(0), pad=48)
+        _, rows = trainer.fit(
+            state, data, valid_data=data,
+            exhaustive_t_validation=True, exhaustive_t_points=n_points,
+        )
+        return rows[0]["val_loss"]
+
+    grid4, grid16 = run(4), run(16)
+    assert np.isfinite(grid4) and np.isfinite(grid16)
+    assert grid4 != grid16, "grid size must change the measured validation"
+    full, explicit_T = run(0), run(T)
+    assert full == explicit_T, "<=0 must mean the full per-timestep sweep"
+    assert full != grid16
+
+
 def test_metrics_csv_append_mode(tmp_path):
     """metrics.csv is appended per epoch (one header, no O(epochs^2)
     rewrites), and a fresh run truncates a stale file."""
