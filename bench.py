@@ -197,11 +197,21 @@ def _run_bench(degraded: bool = False):
     elapsed = min(rep_times)
     rate = n_structures / elapsed
     baseline_rate = 512 / (7 * 60)  # RTX 2080Ti reference
+    # The published baseline is the DDPM T=1000 protocol; an accelerated
+    # sampler (ddim/dpmpp) solves the same sweep with ~50x fewer model evals,
+    # so its vs_baseline is a DIFFERENT-protocol multiplier -- flagged in the
+    # JSON itself (vs_baseline_protocol) so downstream consumers can't
+    # mistake it for a same-protocol speedup.
     print(json.dumps({
         "metric": "sampling_backbones_per_sec",
         "value": round(rate, 3),
         "unit": "backbones/sec/chip",
         "vs_baseline": round(rate / baseline_rate, 2),
+        "vs_baseline_protocol": (
+            "same (DDPM T=1000)" if method == "ddpm" and timesteps == 1000
+            else f"DIFFERENT: bench ran {method}-{evals_per_chain} evals vs "
+                 "baseline DDPM-1000"
+        ),
         "n_structures": n_structures,
         "timesteps": timesteps,
         "method": method,

@@ -51,6 +51,18 @@ def synth_angles(rng: np.random.Generator, n_res: int) -> np.ndarray:
     return np.stack([phi, psi, omega, tau, ca_c_n, c_n_ca], axis=1)
 
 
+def cath_like_lengths(
+    rng: np.random.Generator, n: int, min_len: int = 40, max_len: int = 512
+) -> np.ndarray:
+    """CATH-S40-like domain lengths: lognormal with median ~140 residues,
+    clipped to [min_len, max_len]. ~58% of draws exceed 128, matching the
+    reference protocol where most CATH domains are longer than the pad-128
+    training window (reference config_jsons/cath_full_angles_cosine.json +
+    data/download_cath.sh) and so get randomcrop-augmented every epoch."""
+    lens = rng.lognormal(mean=np.log(140.0), sigma=0.45, size=n)
+    return np.clip(np.round(lens), min_len, max_len).astype(int)
+
+
 def make_synthetic_protein_dir(
     out_dir: str, n: int = 200, min_len: int = 48, max_len: int = 96, seed: int = 0
 ) -> List[str]:
@@ -67,6 +79,35 @@ def make_synthetic_protein_dir(
         angles = synth_angles(rng, n_res)
         df = pd.DataFrame(angles, columns=EXHAUSTIVE_ANGLES)
         fname = os.path.join(out_dir, f"synthprot_{i:04d}.pdb")
+        if create_new_chain_nerf(fname, df):
+            out.append(fname)
+    return out
+
+
+def make_cath_scale_corpus(
+    out_dir: str, n: int = 24000, seed: int = 0, resume: bool = True
+) -> List[str]:
+    """Write a CATH-S40-SIZED synthetic corpus: n multi-segment backbones with
+    a realistic (lognormal, median ~140, up to 512 residues) length
+    distribution. resume=True skips files that already exist, so an
+    interrupted generation continues where it left off."""
+    import pandas as pd
+
+    from foldingdiff_tpu.geometry.featurize import EXHAUSTIVE_ANGLES, create_new_chain_nerf
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lengths = cath_like_lengths(rng, n)
+    out = []
+    for i, n_res in enumerate(lengths):
+        fname = os.path.join(out_dir, f"synthprot_{i:05d}.pdb")
+        # Angle draw must happen even on skip so resumed runs stay on the
+        # same RNG stream and produce identical remaining files
+        angles = synth_angles(rng, int(n_res))
+        if resume and os.path.exists(fname):
+            out.append(fname)
+            continue
+        df = pd.DataFrame(angles, columns=EXHAUSTIVE_ANGLES)
         if create_new_chain_nerf(fname, df):
             out.append(fname)
     return out

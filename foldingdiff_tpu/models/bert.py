@@ -295,8 +295,15 @@ class BertForDiffusion(nn.Module):
         time_encoded = get_time_encoder(cfg.time_encoding, cfg.hidden_size)(timestep)
         hidden = upscaled + time_encoded[:, None, :]
 
+        # nn.remat subclasses Layer without renaming, so the params tree (and
+        # every saved checkpoint) is identical with remat on or off.
+        # static_argnums counts __call__ args with self at 0 -> deterministic
+        # (a python bool branching dropout) is arg 4.
+        layer_cls = (
+            nn.remat(Layer, static_argnums=(4,)) if cfg.remat else Layer
+        )
         for i in range(cfg.num_hidden_layers):
-            hidden = Layer(cfg, name=f"encoder_layer_{i}")(
+            hidden = layer_cls(cfg, name=f"encoder_layer_{i}")(
                 hidden, attn_bias_2d, position_ids, deterministic
             )
 

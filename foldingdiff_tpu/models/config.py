@@ -51,6 +51,11 @@ class ModelConfig:
     # onedot ~2500 ms/step (take_along_axis's (B,L,H,L)-index gather does not
     # vectorize on TPU); see scripts/microbench_relkey.py for the A/B harness.
     relative_scores_impl: str = "gather"
+    # Rematerialize (jax.checkpoint) each encoder layer: trades recompute for
+    # activation memory. Same params tree (checkpoints interchangeable);
+    # outputs equal to float-reassociation tolerance (~2e-6, fusion order
+    # changes under checkpoint). Off by default -- see docs/performance.md.
+    remat: bool = False
 
     @property
     def n_inputs(self) -> int:

@@ -278,3 +278,45 @@ class TestPositionalEncoding:
         np.testing.assert_array_equal(out[0], out[2])
         # distinct across positions
         assert not np.allclose(out[0, 0], out[0, 1])
+
+
+class TestRemat:
+    """config.remat wraps each encoder layer in jax.checkpoint: same params
+    tree (checkpoints interchangeable), outputs/grads equal to float
+    reassociation tolerance."""
+
+    def test_remat_equivalence(self):
+        import dataclasses
+
+        from foldingdiff_tpu.models import io as model_io
+        from foldingdiff_tpu.models.bert import BertForDiffusion
+        from foldingdiff_tpu.models.config import ModelConfig
+
+        cfg = ModelConfig(
+            hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=96, max_position_embeddings=16,
+        )
+        m = BertForDiffusion(cfg)
+        v = model_io.init_model_variables(m, jax.random.PRNGKey(0), pad=16)
+        mr = BertForDiffusion(dataclasses.replace(cfg, remat=True))
+        x = np.random.default_rng(0).uniform(-1, 1, (3, 16, 6)).astype(np.float32)
+        t = np.array([1, 5, 9], np.int32)
+        mask = np.ones((3, 16), np.float32)
+        np.testing.assert_allclose(
+            np.asarray(m.apply(v, x, t, mask, deterministic=True)),
+            np.asarray(mr.apply(v, x, t, mask, deterministic=True)),
+            atol=1e-5, rtol=1e-4,
+        )
+
+        def loss(params, model):
+            out = model.apply(
+                {"params": params, "constants": v.get("constants", {})},
+                x, t, mask, deterministic=True,
+            )
+            return jnp.mean(out ** 2)
+
+        ga = jax.grad(lambda p: loss(p, m))(v["params"])
+        gb = jax.grad(lambda p: loss(p, mr))(v["params"])
+        assert jax.tree.structure(ga) == jax.tree.structure(gb)
+        for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(la, lb, atol=1e-5, rtol=1e-3)
