@@ -48,6 +48,14 @@ def main():
 
     import jax
 
+    # Persistent compile cache (same as bench.py): remote compiles of the
+    # fused-scan step take minutes; repeat A/Bs should pay once.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from foldingdiff_tpu.diffusion.schedules import DiffusionSchedule
     from foldingdiff_tpu.models.bert import BertForDiffusion
     from foldingdiff_tpu.models.config import ModelConfig
