@@ -14,6 +14,8 @@ import sys
 from glob import glob
 from pathlib import Path
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from foldingdiff_tpu.eval import tmscore
@@ -45,6 +47,11 @@ def main():
     parser.add_argument("--trainfiles", type=str, required=True,
                         help="train_files.txt from training, or a directory of PDBs")
     parser.add_argument("-n", "--nsubset", type=int, default=0)
+    parser.add_argument("--train-subsample", type=int, default=0,
+                        help="score against a seeded random subset of the "
+                        "training set instead of all of it (makes the check "
+                        "tractable at CATH-scale corpora; 0 = use all)")
+    parser.add_argument("--subsample-seed", type=int, default=1234)
     args = parser.parse_args()
 
     pdb_files = sorted(glob(os.path.join(args.dirname, "*.pdb")))
@@ -56,6 +63,15 @@ def main():
         with open(args.trainfiles) as f:
             train_files = [l.strip() for l in f if l.strip()]
     train_files = [f for f in train_files if os.path.isfile(f)]
+    if args.train_subsample and args.train_subsample < len(train_files):
+        rng = np.random.default_rng(args.subsample_seed)
+        idx = rng.choice(len(train_files), args.train_subsample, replace=False)
+        train_files = [train_files[i] for i in sorted(idx)]
+        logging.info(
+            f"Subsampled training refs to {len(train_files)} "
+            f"(seed {args.subsample_seed}); reported max-TM novelty is a "
+            f"lower bound on the full-corpus value"
+        )
     logging.info(f"{len(pdb_files)} generated vs {len(train_files)} training structures")
     compute_training_tm_scores(pdb_files, train_files, Path(args.dirname))
 

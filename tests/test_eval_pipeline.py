@@ -93,3 +93,33 @@ def test_training_novelty(pipeline_dirs):
     score, best = max_tm_across_refs(queries[0], refs, parallel=False)
     assert 0 < score <= 1.0
     assert best in refs
+
+
+def test_tmscore_training_cli_train_subsample(pipeline_dirs, tmp_path, monkeypatch):
+    """--train-subsample scores vs a seeded subset (the CATH-scale fast path)."""
+    import json
+
+    from bin.tmscore_training import main as tm_main
+
+    sampled_dir, folded_dir = pipeline_dirs
+    refs = sorted(str(p) for p in folded_dir.glob("*.pdb"))
+    listing = tmp_path / "train_files.txt"
+    listing.write_text("\n".join(refs) + "\n")
+    workdir = tmp_path / "scored"
+    workdir.mkdir()
+    for p in sorted(sampled_dir.glob("*.pdb")):
+        (workdir / p.name).write_bytes(p.read_bytes())
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["tmscore_training.py", "-d", str(workdir), "--trainfiles", str(listing),
+         "--train-subsample", "3", "--subsample-seed", "7"],
+    )
+    tm_main()
+    scores = json.loads((workdir / "tm_scores.json").read_text())
+    chosen = json.loads((workdir / "tm_scores_ref.json").read_text())
+    assert len(scores) == len(list(sampled_dir.glob("*.pdb")))
+    assert all(0 < v <= 1.0 for v in scores.values())
+    # every best-ref must come from the subsampled pool (3 of the 6 refs)
+    assert set(chosen.values()) <= set(refs)
+    assert len(set(chosen.values())) <= 3
