@@ -102,7 +102,7 @@ def main():
     # Held-out test split of the training corpus (same seed-6489 split)
     with open(os.path.join(args.results, "training_args.json")) as f:
         train_args = json.load(f)
-    _, _, test_ds = get_train_valid_test_sets(
+    train_ds, _, test_ds = get_train_valid_test_sets(
         dataset_key=train_args["dataset_key"],
         angles_definitions=train_args["angles_definitions"],
         max_seq_len=int(train_args["max_seq_len"]),
@@ -114,6 +114,31 @@ def main():
         item = test_ds.__getitem__(i, ignore_zero_center=True)
         test_rows.append(np.asarray(item["angles"][: int(item["lengths"])]))
     test_angles = np.concatenate(test_rows)
+
+    # 2b. Corpus length distribution vs the pad-128 training window: every
+    # structure right of the dashed line gets a FRESH random 128-residue crop
+    # each epoch (the augmentation this run exists to exercise; reference
+    # datasets.py:411-438)
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    lengths = np.asarray(train_ds.all_lengths)
+    pad = int(train_args["max_seq_len"])
+    fig, ax = plt.subplots(dpi=300, figsize=(5.2, 3.2))
+    ax.hist(lengths, bins=60, color="#4c72b0", edgecolor="white", lw=0.3)
+    ax.axvline(pad, color="0.2", lw=1.2, ls="--")
+    frac_over = float(np.mean(lengths > pad))
+    ax.text(pad + 6, 0.95, f"pad={pad}; {frac_over:.0%} of corpus re-cropped\n"
+            "every epoch (randomcrop)", transform=ax.get_xaxis_transform(),
+            fontsize=7, color="0.2", va="top")
+    ax.set(xlabel="structure length (residues)", ylabel="training structures",
+           title=f"24k-corpus length distribution (median {int(np.median(lengths))})")
+    ax.spines[["top", "right"]].set_visible(False)
+    out = os.path.join(args.outdir, "corpus_length_distribution.png")
+    fig.savefig(out, bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote {out}")
 
     # 3. Ramachandran: generated vs test split
     phi_i, psi_i = EXHAUSTIVE_ANGLES.index("phi"), EXHAUSTIVE_ANGLES.index("psi")
