@@ -84,13 +84,28 @@ def make_synthetic_protein_dir(
     return out
 
 
+def _pdb_is_complete(fname: str) -> bool:
+    """
+    A PDB written by geometry.pdb is complete iff it ends with 'END\\n'.
+    Writes are atomic (temp + os.replace) so truncation should be impossible
+    going forward; this check additionally protects resume from files written
+    by older non-atomic versions or copied in partially.
+    """
+    try:
+        with open(fname, "rb") as fh:
+            fh.seek(-4, os.SEEK_END)
+            return fh.read() == b"END\n"
+    except OSError:
+        return False
+
+
 def make_cath_scale_corpus(
     out_dir: str, n: int = 24000, seed: int = 0, resume: bool = True
 ) -> List[str]:
     """Write a CATH-S40-SIZED synthetic corpus: n multi-segment backbones with
     a realistic (lognormal, median ~140, up to 512 residues) length
-    distribution. resume=True skips files that already exist, so an
-    interrupted generation continues where it left off."""
+    distribution. resume=True skips files that already exist AND are complete
+    (end with 'END'); a truncated file from an interrupted run is rewritten."""
     import pandas as pd
 
     from foldingdiff_tpu.geometry.featurize import EXHAUSTIVE_ANGLES, create_new_chain_nerf
@@ -104,7 +119,7 @@ def make_cath_scale_corpus(
         # Angle draw must happen even on skip so resumed runs stay on the
         # same RNG stream and produce identical remaining files
         angles = synth_angles(rng, int(n_res))
-        if resume and os.path.exists(fname):
+        if resume and _pdb_is_complete(fname):
             out.append(fname)
             continue
         df = pd.DataFrame(angles, columns=EXHAUSTIVE_ANGLES)

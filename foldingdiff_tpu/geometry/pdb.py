@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import gzip
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -189,6 +190,30 @@ def _format_atom_line(
     )
 
 
+@contextmanager
+def _atomic_write(out_fname: str):
+    """
+    Write-to-temp + os.replace so a PDB either exists complete or not at all.
+    An interrupted write must never leave a truncated file at the final path:
+    the synthetic-corpus generator's resume mode skips existing files, and
+    its byte-parity-across-regenerations guarantee (CLAUDE.md) depends on
+    every on-disk file being a complete write.
+    """
+    tmp = f"{out_fname}.tmp.{os.getpid()}"
+    fh = open(tmp, "w")
+    try:
+        yield fh
+        fh.close()
+        os.replace(tmp, out_fname)
+    except BaseException:
+        fh.close()
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def write_coords_to_pdb(coords: np.ndarray, out_fname: str) -> str:
     """
     Write an (3N, 3) N/CA/C coordinate array as a GLY-only backbone PDB,
@@ -198,7 +223,7 @@ def write_coords_to_pdb(coords: np.ndarray, out_fname: str) -> str:
     assert len(coords) % 3 == 0, f"Expected 3N coords, got {len(coords)}"
     elements = ["N", "C", "C"]
     names = ["N", "CA", "C"]
-    with open(out_fname, "w") as fh:
+    with _atomic_write(out_fname) as fh:
         serial = 1
         for i in range(0, len(coords), 3):
             res_id = i // 3 + 1
@@ -236,7 +261,7 @@ def write_ca_trace_to_pdb(coords: np.ndarray, out_fname: str, recenter: bool = T
             f"CA coords exceed PDB %8.3f column width even after recentering "
             f"(max |coord| = {np.abs(coords).max():.1f} A); refusing to write {out_fname}"
         )
-    with open(out_fname, "w") as fh:
+    with _atomic_write(out_fname) as fh:
         for i, c in enumerate(coords):
             fh.write(_format_atom_line(i + 1, "CA", "GLY", "A", i + 1, c, 1.0, 5.0, "C"))
         fh.write("END\n")
@@ -245,7 +270,7 @@ def write_ca_trace_to_pdb(coords: np.ndarray, out_fname: str, recenter: bool = T
 
 def write_full_atoms_to_pdb(atoms: List[PDBAtom], out_fname: str) -> str:
     """Write arbitrary atoms (used by sidechain grafting / oxygen addition)."""
-    with open(out_fname, "w") as fh:
+    with _atomic_write(out_fname) as fh:
         for serial, a in enumerate(atoms, start=1):
             fh.write(
                 _format_atom_line(

@@ -56,6 +56,30 @@ def test_corpus_resume_produces_identical_bytes(tmp_path):
         assert full[name] == resumed[name], f"{name} diverged after resume"
 
 
+def test_corpus_resume_rewrites_truncated_file(tmp_path):
+    """A generation killed mid-write must not poison a resumed run: PDB
+    writes are atomic (geometry.pdb._atomic_write), and resume additionally
+    validates files end with 'END' before skipping, so a truncated file left
+    by an older writer (or a partial copy) gets rewritten, preserving the
+    byte-parity guarantee."""
+    full_dir, resumed_dir = str(tmp_path / "full"), str(tmp_path / "resumed")
+    make_cath_scale_corpus(full_dir, n=4, seed=3)
+    make_cath_scale_corpus(resumed_dir, n=4, seed=3)
+    # simulate a mid-write interruption on file 1: cut it in half
+    victim = os.path.join(resumed_dir, "synthprot_00001.pdb")
+    blob = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])
+    files = make_cath_scale_corpus(resumed_dir, n=4, seed=3, resume=True)
+    assert len(files) == 4
+    full, resumed = _read_all(full_dir), _read_all(resumed_dir)
+    assert full.keys() == resumed.keys()
+    for name in full:
+        assert full[name] == resumed[name], f"{name} diverged after truncated resume"
+    # and no temp droppings left behind
+    assert not [f for f in os.listdir(resumed_dir) if ".tmp." in f]
+
+
 def test_corpus_seed_changes_content(tmp_path):
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     make_cath_scale_corpus(a, n=2, seed=1)
