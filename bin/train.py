@@ -71,7 +71,7 @@ def maybe_init_distributed(
 
 def main():
     args = build_parser().parse_args()
-    from foldingdiff_tpu.utils_platform import maybe_force_cpu
+    from foldingdiff_tpu.utils_platform import maybe_force_cpu, tpu_job_lock_if_tpu
 
     maybe_force_cpu(args.cpu)
     maybe_init_distributed(args.multihost, args.coordinator, args.nprocs, args.procid)
@@ -97,7 +97,10 @@ def main():
     config = update_dict_nonnull(config, {k: v for k, v in overrides.items() if v is not None})
     # Accepted-for-parity keys that train() does not take
     config.pop("multithread_plotting", None)
-    train(**config)
+    # Advisory busy-host sentinel: lets a concurrently-running test suite
+    # skip its contention-sensitive multihost e2e tests instead of timing out
+    with tpu_job_lock_if_tpu():
+        train(**config)
 
 
 if __name__ == "__main__":

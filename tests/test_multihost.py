@@ -60,6 +60,9 @@ def _run_workers(nprocs: int, tmp_path, seed: int = 0, local_devices: int = 4):
 @pytest.mark.slow
 def test_two_process_global_mesh_matches_single_process(tmp_path):
     """2 processes x 4 devices == 1 process x 8 devices, same loss."""
+    from tests.helpers import require_uncontended_host
+
+    require_uncontended_host()
     results = _run_workers(2, tmp_path, seed=0)
     assert all(r["global_devices"] == 8 for r in results)
     # Every process computes the identical (replicated) loss
@@ -78,8 +81,9 @@ def test_multihost_cli_train_end_to_end(tmp_path):
     """bin/train.py --multihost with an explicit coordinator: 2 processes
     train one epoch on a shared synthetic corpus over the global mesh; only
     process 0 writes artifacts."""
-    from tests.helpers import make_synthetic_pdb_dir
+    from tests.helpers import make_synthetic_pdb_dir, require_uncontended_host
 
+    require_uncontended_host()
     pdb_dir = str(tmp_path / "pdbs")
     make_synthetic_pdb_dir(pdb_dir, n=16, seed=7, min_len=30)
     # Pre-warm the featurization cache so the two processes don't race to
@@ -146,8 +150,9 @@ def test_multihost_resume_broadcasts_from_process_0(tmp_path):
     process 0 and BROADCAST epoch/params to all processes -- without this,
     process 1 silently restarts at epoch 0 with fresh weights and the
     replicate() invariant breaks (trainer.py multi-host resume branch)."""
-    from tests.helpers import make_synthetic_pdb_dir
+    from tests.helpers import make_synthetic_pdb_dir, require_uncontended_host
 
+    require_uncontended_host()
     pdb_dir = str(tmp_path / "pdbs")
     make_synthetic_pdb_dir(pdb_dir, n=16, seed=7, min_len=30)
     cache = str(tmp_path / "cache")
