@@ -129,11 +129,12 @@ def main():
     ax.hist(lengths, bins=60, color="#4c72b0", edgecolor="white", lw=0.3)
     ax.axvline(pad, color="0.2", lw=1.2, ls="--")
     frac_over = float(np.mean(lengths > pad))
-    ax.text(pad + 6, 0.95, f"pad={pad}; {frac_over:.0%} of corpus re-cropped\n"
-            "every epoch (randomcrop)", transform=ax.get_xaxis_transform(),
+    ax.text(pad + 6, 0.95, f"pad={pad}; {frac_over:.0%} of training split\n"
+            "re-cropped every epoch (randomcrop)", transform=ax.get_xaxis_transform(),
             fontsize=7, color="0.2", va="top")
     ax.set(xlabel="structure length (residues)", ylabel="training structures",
-           title=f"24k-corpus length distribution (median {int(np.median(lengths))})")
+           title=f"Training-split length distribution, 24k corpus "
+                 f"(median {int(np.median(lengths))})")
     ax.spines[["top", "right"]].set_visible(False)
     out = os.path.join(args.outdir, "corpus_length_distribution.png")
     fig.savefig(out, bbox_inches="tight")

@@ -39,6 +39,9 @@ def compute_training_tm_scores(pdb_files, train_files, outdir: Path, nthreads=No
 
 
 def main():
+    # Configure here (not only under __main__) so the subsample "lower bound"
+    # caveat is emitted even when main() is invoked programmatically
+    logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser(
         usage=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
@@ -77,5 +80,4 @@ def main():
 
 
 if __name__ == "__main__":
-    logging.basicConfig(level=logging.INFO)
     main()

@@ -120,6 +120,11 @@ def test_tmscore_training_cli_train_subsample(pipeline_dirs, tmp_path, monkeypat
     chosen = json.loads((workdir / "tm_scores_ref.json").read_text())
     assert len(scores) == len(list(sampled_dir.glob("*.pdb")))
     assert all(0 < v <= 1.0 for v in scores.values())
-    # every best-ref must come from the subsampled pool (3 of the 6 refs)
-    assert set(chosen.values()) <= set(refs)
-    assert len(set(chosen.values())) <= 3
+    # every best-ref must come from EXACTLY the seeded 3-of-6 subset the CLI
+    # draws (reproduce its default_rng(seed).choice over the sorted listing);
+    # a `<= set(refs)` check would pass even if subsampling were broken
+    expected_idx = np.random.default_rng(7).choice(len(refs), 3, replace=False)
+    expected_pool = {refs[i] for i in expected_idx}
+    assert set(chosen.values()) <= expected_pool, (
+        f"best-refs {set(chosen.values())} not from the seeded pool {expected_pool}"
+    )
