@@ -48,6 +48,18 @@ def main():
     from foldingdiff_tpu.utils_platform import maybe_force_cpu
 
     maybe_force_cpu()  # honor an inherited JAX_PLATFORMS=cpu
+    # Persistent compile cache (same knob as bench.py): this script is run
+    # several times per study (ddpm + dpmpp at multiple step counts) and the
+    # sampler chunk shapes are identical across runs
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     # DDIM/SWA results go to suffixed artifacts so the reference-parity DDPM
     # artifacts are never clobbered
     suffix = "" if args.method == "ddpm" else (
@@ -181,4 +193,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # Advisory busy-host sentinel (utils_platform): a concurrently-running
+    # test suite skips its contention-sensitive multihost e2e tests instead
+    # of timing out while this eval holds the single host core
+    from foldingdiff_tpu.utils_platform import tpu_job_lock_if_tpu
+
+    with tpu_job_lock_if_tpu():
+        main()
