@@ -109,12 +109,21 @@ def build_sampler(
     angular_variance: float = 1.0,
     nonangular_variance: float = 1.0,
     unroll: int = 1,
+    params_as_arg: bool = False,
 ):
     """
     jit-compiled sampler closure. Weights are closed over; one compilation per
     (batch, length) shape. method: "ddpm" (ancestral, reference-parity),
     "ddim" (accelerated, ddim_steps model evals), or "dpmpp"
     (DPM-Solver++(2M), ddim_steps sets its step budget too).
+
+    params_as_arg=True prepends `params` to the returned signature so one
+    compiled sampler serves MANY weight sets of the same shape (checkpoint
+    sweeps, SWA-vs-final comparisons): closed-over weights are baked into the
+    jaxpr as constants, so swapping checkpoints with params_as_arg=False pays
+    a fresh trace+compile per checkpoint (minutes each through the remote
+    compile tunnel). Use `functools.partial(sampler, params)` to feed the
+    result into sample(sampler=...).
 
     gen_noise=False: signature (noise, attn_mask, key) -- caller provides x_T
     (used by partial-noise reconstruction).
@@ -130,7 +139,6 @@ def build_sampler(
     replaces the previous fold_in(seed, 0) derivation, so seed->sample
     mappings differ from releases before the flagship rerun.
     """
-    variables = {"params": params, "constants": constants}
     # Partial chains (start_t, used by partial-noise reconstruction) are a
     # DDPM-ancestral concept here: the accelerated samplers' node grids
     # start at t=T-1, so running them on a q-sampled x_{start_t} input would
@@ -138,10 +146,12 @@ def build_sampler(
     if start_t is not None and method != "ddpm":
         raise ValueError(f"start_t is only supported with method='ddpm', got {method!r}")
 
-    def model_fn(x, t_vec, mask):
-        return model.apply(variables, x, t_vec, mask, deterministic=True)
+    def run_loop(p, noise, attn_mask, key):
+        def model_fn(x, t_vec, mask):
+            return model.apply(
+                {"params": p, "constants": constants}, x, t_vec, mask, deterministic=True
+            )
 
-    def run_loop(noise, attn_mask, key):
         if method == "ddim":
             return ddim_sample_loop(
                 model_fn, noise, key, attn_mask, schedule, is_angular,
@@ -158,12 +168,13 @@ def build_sampler(
         )
 
     if not gen_noise:
-        return jax.jit(run_loop)
+        if params_as_arg:
+            return jax.jit(run_loop)
+        return jax.jit(lambda noise, attn_mask, key: run_loop(params, noise, attn_mask, key))
 
     assert n_ft is not None
 
-    @jax.jit
-    def sampler(attn_mask, seed_lo, seed_hi, chunk_i):
+    def _sampler(p, attn_mask, seed_lo, seed_hi, chunk_i):
         # Same derivation sample() used to do eagerly: build the master key
         # from the seed (split into two uint32 words so 64-bit seeds keep
         # distinct streams instead of silently colliding mod 2**32), fold the
@@ -175,9 +186,15 @@ def build_sampler(
         noise = sample_wrapped_noise(
             noise_key, (b, l, n_ft), is_angular, angular_variance, nonangular_variance
         )
-        return run_loop(noise, attn_mask, loop_key)
+        return run_loop(p, noise, attn_mask, loop_key)
 
-    return sampler
+    if params_as_arg:
+        return jax.jit(_sampler)
+    return jax.jit(
+        lambda attn_mask, seed_lo, seed_hi, chunk_i: _sampler(
+            params, attn_mask, seed_lo, seed_hi, chunk_i
+        )
+    )
 
 
 def ddim_sample_loop(

@@ -484,3 +484,54 @@ class TestDPMpp(_TinyModelMixin):
         )
         assert len(out) == 2 and out[0].shape == (10, 6)
         assert all(np.isfinite(s).all() for s in out)
+
+
+class TestParamsAsArgSampler(_TinyModelMixin):
+    """build_sampler(params_as_arg=True): one compiled sampler serves many
+    same-shaped weight sets (checkpoint sweeps) -- outputs must match the
+    closed-over-weights sampler exactly, and swapping weights must NOT grow
+    the jit cache (the whole point: no per-checkpoint recompile)."""
+
+    def test_matches_closed_over_sampler_and_reuses_cache(self):
+        import functools
+
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 8)
+        kwargs = dict(
+            is_angular=IS_ANGULAR, pad=32, n=1, sweep_lengths=(16, 18), batch_size=4
+        )
+        baseline = samp.sample(
+            model, variables["params"], variables["constants"], sched, seed=1, **kwargs
+        )
+        ps = samp.build_sampler(
+            model, variables["params"], variables["constants"], sched,
+            np.asarray(IS_ANGULAR), gen_noise=True, n_ft=6, params_as_arg=True,
+        )
+        out = samp.sample(
+            model, variables["params"], variables["constants"], sched, seed=1,
+            sampler=functools.partial(ps, variables["params"]), **kwargs
+        )
+        # Not bitwise: closed-over weights compile as XLA constants (different
+        # folding/fusion than runtime arguments), so tiny float drift per step
+        # is expected; the streams and math are identical
+        for x, y in zip(baseline, out):
+            np.testing.assert_allclose(x, y, atol=1e-3)
+        # ... but the params-as-arg sampler itself is deterministic
+        rerun = samp.sample(
+            model, variables["params"], variables["constants"], sched, seed=1,
+            sampler=functools.partial(ps, variables["params"]), **kwargs
+        )
+        for x, y in zip(out, rerun):
+            np.testing.assert_array_equal(x, y)
+
+        # Different weights, same shapes: results change, cache size does not
+        n_compiled = ps._cache_size()
+        variables2 = model_io.init_model_variables(model, jax.random.PRNGKey(9), pad=32)
+        out2 = samp.sample(
+            model, variables2["params"], variables2["constants"], sched, seed=1,
+            sampler=functools.partial(ps, variables2["params"]), **kwargs
+        )
+        assert not all(np.allclose(x, y) for x, y in zip(out, out2))
+        assert ps._cache_size() == n_compiled, (
+            "swapping same-shaped params must not recompile the sampler"
+        )
