@@ -44,7 +44,12 @@ def main():
     except Exception:
         pass
     try:
-        _run_bench()
+        from foldingdiff_tpu.utils_platform import tpu_job_lock_if_tpu
+    except Exception:
+        from contextlib import nullcontext as tpu_job_lock_if_tpu
+    try:
+        with tpu_job_lock_if_tpu():
+            _run_bench()
     except Exception as e:
         # Retry ONLY on memory pressure at a smaller batch; any other failure
         # (shape bug, compile error) must fail the bench loudly, not be masked
