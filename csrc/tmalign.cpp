@@ -197,7 +197,7 @@ Transform kabsch(const Coords& p, const Coords& q) {
 // transform through out_tr if non-null.
 double tmscore_pairs(const Coords& a, const Coords& b,
                      const std::vector<std::pair<int, int>>& pairs, int norm_len,
-                     Transform* out_tr = nullptr) {
+                     Transform* out_tr = nullptr, int speed = 0) {
   if (pairs.size() < 3) return -1.0;
   const double d0 = tm_d0(norm_len);
   const double d0sq = d0 * d0;
@@ -205,9 +205,16 @@ double tmscore_pairs(const Coords& a, const Coords& b,
   Transform best_tr{};
 
   const int n = int(pairs.size());
-  // Seed fragment lengths n, n/2, n/4, >= 4
-  for (int frag = n; frag >= std::max(4, n / 8); frag /= 2) {
-    for (int start = 0; start + frag <= n; start += std::max(frag / 2, 1)) {
+  // Seed fragment lengths n, n/2, n/4, >= 4. Fast mode (speed=1, the
+  // analogue of TM-align's -fast): only the two coarsest fragment levels,
+  // non-overlapping starts, and a shorter refinement -- a screening-grade
+  // score for big max-over-references sweeps (rank candidates fast, re-score
+  // the winners with speed=0).
+  const int min_frag = (speed > 0) ? std::max(4, n / 2) : std::max(4, n / 8);
+  const int max_refine = (speed > 0) ? 6 : 20;
+  for (int frag = n; frag >= min_frag; frag /= 2) {
+    const int start_step = (speed > 0) ? frag : std::max(frag / 2, 1);
+    for (int start = 0; start + frag <= n; start += start_step) {
       Coords ps, qs;
       ps.reserve(frag);
       qs.reserve(frag);
@@ -217,7 +224,7 @@ double tmscore_pairs(const Coords& a, const Coords& b,
       }
       Transform tr = kabsch(ps, qs);
       // iterative refinement with d-cutoff
-      for (int iter = 0; iter < 20; ++iter) {
+      for (int iter = 0; iter < max_refine; ++iter) {
         double tm = 0;
         std::vector<int> close;
         double d_cut = d0;
@@ -313,7 +320,7 @@ std::vector<char> assign_ss(const Coords& ca) {
   return ss;
 }
 
-double run_alignment(const Coords& a, const Coords& b) {
+double run_alignment(const Coords& a, const Coords& b, int speed = 0) {
   const int la = int(a.size()), lb = int(b.size());
   const int norm_len = lb;
   const double d0 = tm_d0(norm_len);
@@ -372,8 +379,9 @@ double run_alignment(const Coords& a, const Coords& b) {
     const int frag = std::max(8, std::min(la, lb) / 4);
     double best_local = -1.0;
     std::vector<std::pair<int, int>> best_pairs;
-    const int step_a = std::max(1, (la - frag) / 8);
-    const int step_b = std::max(1, (lb - frag) / 8);
+    const int grid = (speed > 0) ? 4 : 8;  // fast mode: coarser fragment grid
+    const int step_a = std::max(1, (la - frag) / grid);
+    const int step_b = std::max(1, (lb - frag) / grid);
     for (int ia = 0; ia + frag <= la; ia += step_a) {
       for (int jb = 0; jb + frag <= lb; jb += step_b) {
         Coords ps, qs;
@@ -402,13 +410,16 @@ double run_alignment(const Coords& a, const Coords& b) {
     if (!best_pairs.empty()) seeds.push_back(best_pairs);
   }
 
-  // Iterate each seed: superimpose -> distance-based DP -> re-superimpose
+  // Iterate each seed: superimpose -> distance-based DP -> re-superimpose.
+  // Fast mode truncates the DP refinement (most pairs converge in a few
+  // rounds; the tail of the 30 only polishes the 3rd decimal).
+  const int max_dp_iter = (speed > 0) ? 6 : 30;
   for (auto& seed : seeds) {
     std::vector<std::pair<int, int>> pairs = seed;
     std::vector<std::pair<int, int>> prev;
-    for (int iter = 0; iter < 30; ++iter) {
+    for (int iter = 0; iter < max_dp_iter; ++iter) {
       Transform tr;
-      const double tm = tmscore_pairs(a, b, pairs, norm_len, &tr);
+      const double tm = tmscore_pairs(a, b, pairs, norm_len, &tr, speed);
       if (tm > best) best = tm;
       // rebuild score matrix from superimposed coords
       std::vector<double> score(size_t(la) * lb);
@@ -440,6 +451,16 @@ extern "C" {
 double tm_align(const double* xa, int len_a, const double* ya, int len_b) {
   if (len_a < 5 || len_b < 5) return -1.0;
   return run_alignment(to_coords(xa, len_a), to_coords(ya, len_b));
+}
+
+// speed=0: full alignment (identical to tm_align). speed=1: fast screening
+// mode (the analogue of TM-align's -fast): truncated DP refinement, coarser
+// fragment seeds. Intended for max-over-references sweeps where the top
+// candidates are re-scored at speed=0.
+double tm_align_ex(const double* xa, int len_a, const double* ya, int len_b,
+                   int speed) {
+  if (len_a < 5 || len_b < 5) return -1.0;
+  return run_alignment(to_coords(xa, len_a), to_coords(ya, len_b), speed);
 }
 
 double tm_score_identity(const double* xa, const double* ya, int len) {

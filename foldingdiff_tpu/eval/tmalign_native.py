@@ -56,6 +56,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ]
+        lib.tm_align_ex.restype = ctypes.c_double
+        lib.tm_align_ex.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.c_int,
+        ]
         lib.tm_score_identity.restype = ctypes.c_double
         lib.tm_score_identity.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double), ctypes.c_int,
@@ -75,14 +81,17 @@ def _as_ptr(arr: np.ndarray):
     return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
-def tm_align_coords(query: np.ndarray, reference: np.ndarray) -> float:
+def tm_align_coords(query: np.ndarray, reference: np.ndarray, fast: bool = False) -> float:
     """TM-score of query CA trace aligned onto reference, normalized by
-    reference length. Full DP alignment."""
+    reference length. Full DP alignment; fast=True uses the screening-grade
+    truncated search (the analogue of TM-align's -fast, reference
+    tmalign.py:36-37) -- rank candidates fast, re-score winners with
+    fast=False."""
     lib = _load()
     assert lib is not None
     q, qp = _as_ptr(query)
     r, rp = _as_ptr(reference)
-    return float(lib.tm_align(qp, len(q), rp, len(r)))
+    return float(lib.tm_align_ex(qp, len(q), rp, len(r), 1 if fast else 0))
 
 
 def tm_score_identity_coords(query: np.ndarray, reference: np.ndarray) -> float:
@@ -94,7 +103,7 @@ def tm_score_identity_coords(query: np.ndarray, reference: np.ndarray) -> float:
     return float(lib.tm_score_identity(qp, rp, len(q)))
 
 
-def run_tmalign(query_pdb: str, reference_pdb: str) -> float:
+def run_tmalign(query_pdb: str, reference_pdb: str, fast: bool = False) -> float:
     """File-level API: NaN on failure (reference tmalign.py:22-54)."""
     from foldingdiff_tpu.eval.tmscore import _load_ca
 
@@ -102,5 +111,5 @@ def run_tmalign(query_pdb: str, reference_pdb: str) -> float:
     r = _load_ca(reference_pdb)
     if q is None or r is None:
         return float("nan")
-    score = tm_align_coords(q, r)
+    score = tm_align_coords(q, r, fast=fast)
     return score if score >= 0 else float("nan")

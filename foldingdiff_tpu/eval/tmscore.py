@@ -143,14 +143,16 @@ def _load_ca(pdb_file: str) -> Optional[np.ndarray]:
 def run_tmalign(query: str, reference: str, fast: bool = False) -> float:
     """
     File-level TM-score (reference tmalign.run_tmalign API, tmalign.py:22-54).
-    Prefers the C++ TM-align extension (full DP alignment); falls back to the
-    numpy threading implementation. Returns NaN on failure.
+    Prefers the C++ TM-align extension; falls back to the numpy threading
+    implementation. fast=True uses the truncated screening-grade search (the
+    analogue of TM-align's -fast flag the reference passes for big
+    max-over-references sweeps, tmalign.py:36-37). Returns NaN on failure.
     """
     try:
         from foldingdiff_tpu.eval import tmalign_native
 
         if tmalign_native.available():
-            return tmalign_native.run_tmalign(query, reference)
+            return tmalign_native.run_tmalign(query, reference, fast=fast)
     except ImportError:
         pass
     q = _load_ca(query)
@@ -168,10 +170,14 @@ def max_tm_across_refs(
     fast: bool = True,
     chunksize: int = 10,
     parallel: bool = True,
+    rescore_top_k: int = 5,
 ) -> Tuple[float, str]:
     """
-    Max TM-score of query against each reference (reference tmalign.py:57-83).
-    Returns (best score, best reference filename).
+    Max TM-score of query against each reference (reference tmalign.py:57-83;
+    like the reference, the sweep runs in fast mode by default). Unlike the
+    reference we re-score the top rescore_top_k fast candidates with the FULL
+    alignment and report that max, so the returned score has full accuracy
+    while the O(n_refs) sweep stays fast (0 disables re-scoring).
     """
     logging.debug(f"Matching against {len(references)} references using {n_threads} threads")
     args = [(query, str(r), fast) for r in references]
@@ -183,6 +189,13 @@ def max_tm_across_refs(
     values = np.array(values, dtype=float)
     if np.all(np.isnan(values)):
         return float("nan"), ""
+    if fast and rescore_top_k > 0:
+        top = np.argsort(np.nan_to_num(values, nan=-1.0))[::-1][:rescore_top_k]
+        rescored = [(run_tmalign(query, str(references[i]), fast=False), int(i)) for i in top]
+        rescored = [(s, i) for s, i in rescored if not np.isnan(s)]
+        if rescored:
+            score, best = max(rescored)
+            return float(score), str(references[best])
     best = int(np.nanargmax(values))
     return float(values[best]), str(references[best])
 

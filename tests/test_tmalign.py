@@ -258,3 +258,79 @@ class TestDecoyBattery:
             moved = self.pfl @ rot.T + t
             assert tn.tm_align_coords(moved, self.pfl) > 0.999
             assert abs(tn.tm_align_coords(moved, self.zya) - base) < 1e-3
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("foldingdiff_tpu.eval.tmalign_native").available(),
+    reason="native TM-align not built",
+)
+class TestFastMode:
+    """speed=1 screening mode (the analogue of TM-align's -fast, which the
+    reference passes for max-over-references sweeps, tmalign.py:36-37 +
+    57-83): truncated refinement must stay deterministic, exact on
+    self-alignments, close to the full search on real pairs, and preserve
+    the ranking the screen is used for. Note fast is a DIFFERENT truncated
+    search, not a subset: either mode can win a given pair by a small
+    margin (both are lower bounds of the true optimum)."""
+
+    @staticmethod
+    def _ca(f):
+        from foldingdiff_tpu.geometry.pdb import extract_backbone_coords
+
+        return extract_backbone_coords(f, atoms=("CA",))
+
+    @classmethod
+    def setup_class(cls):
+        from foldingdiff_tpu.eval import tmalign_native as tn
+
+        cls.tn = tn
+        cls.crn = cls._ca(CRN)
+        cls.pfl = cls._ca(PFL)
+        cls.zya = cls._ca(ZYA)
+
+    def test_deterministic(self):
+        a = self.tn.tm_align_coords(self.pfl, self.zya, fast=True)
+        b = self.tn.tm_align_coords(self.pfl, self.zya, fast=True)
+        assert a == b
+
+    def test_self_is_one(self):
+        for s in (self.crn, self.pfl, self.zya):
+            assert self.tn.tm_align_coords(s, s, fast=True) > 0.999
+
+    def test_close_to_full_on_real_pairs(self):
+        for q, r in [(self.pfl, self.zya), (self.crn, self.pfl), (self.zya, self.crn)]:
+            full = self.tn.tm_align_coords(q, r)
+            fast = self.tn.tm_align_coords(q, r, fast=True)
+            assert abs(full - fast) < 0.05, (full, fast)
+
+    def test_truncation_ratio_preserved(self):
+        """Terminal truncation decoy has an analytically-known score
+        (aligned fraction); the fast search must still recover it."""
+        n = len(self.pfl)
+        kept = int(n * 0.7)
+        frag = self.pfl[:kept]
+        tm = self.tn.tm_align_coords(frag, self.pfl, fast=True)
+        assert abs(tm - kept / n) < 0.02, (tm, kept / n)
+
+    def test_ranking_preserved_for_screening(self):
+        """The screen's job: order a dissimilar ref below a near-identical
+        one decisively."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        noisy_self = self.pfl + rng.normal(0, 0.5, self.pfl.shape)
+        good = self.tn.tm_align_coords(noisy_self, self.pfl, fast=True)
+        bad = self.tn.tm_align_coords(self.zya, self.pfl, fast=True)
+        assert good > 0.8 and good > bad + 0.3, (good, bad)
+
+    def test_max_tm_rescore_returns_full_accuracy_score(self):
+        """max_tm_across_refs fast-screens then re-scores top-k full: the
+        returned score must equal the full-alignment score of the returned
+        reference."""
+        from foldingdiff_tpu.eval import tmscore
+
+        refs = [PFL, ZYA, CRN]
+        score, ref = tmscore.max_tm_across_refs(PFL, refs, parallel=False)
+        assert ref == PFL and score > 0.999
+        full = tmscore.run_tmalign(PFL, ref, fast=False)
+        assert score == full
