@@ -40,6 +40,10 @@ def main():
                         "for the speedups; --ddim-steps sets both)")
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
+    parser.add_argument("--noise-scale", type=str, default="",
+                        help="per-feature DDPM sampling temperature, 6 comma-"
+                        "separated floats (see sampling.p_sample_step); "
+                        "artifacts get a _cal suffix")
     parser.add_argument("--best-by", choices=["valid", "train", "swa"],
                         default="valid",
                         help="which checkpoint family to load (swa = the "
@@ -68,6 +72,11 @@ def main():
     )
     if args.best_by != "valid":
         suffix += f"_{args.best_by}"
+    noise_scale = 1.0
+    if args.noise_scale:
+        noise_scale = np.array([float(v) for v in args.noise_scale.split(",")])
+        assert noise_scale.shape == (6,)
+        suffix += "_cal"
 
     import pandas as pd
 
@@ -96,6 +105,7 @@ def main():
         n=args.n, sweep_lengths=(50, 128), batch_size=args.batch,
         mean_offset=mean_offset, seed=31,
         method=args.method, ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
+        noise_scale=noise_scale,
     )
     sample_sec = time.time() - t0
     print(f"sampled {len(sampled)} structures in {sample_sec:.1f}s")
@@ -170,6 +180,7 @@ def main():
         },
         "sampling": {
             "method": args.method + ("" if args.method == "ddpm" else f"-{args.ddim_steps}"),
+            "noise_scale": ([float(v) for v in noise_scale] if args.noise_scale else 1.0),
             "n_structures": len(sampled),
             # Includes jit compiles of every chunk shape (this script builds a
             # fresh sampler); bench.py is the steady-state throughput number.

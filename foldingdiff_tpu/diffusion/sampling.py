@@ -36,10 +36,18 @@ def p_sample_step(
     attn_mask: jnp.ndarray,
     schedule: DiffusionSchedule,
     is_angular: jnp.ndarray,
+    noise_scale=1.0,
 ) -> jnp.ndarray:
     """
     One reverse step at (scalar) timestep t. model_fn(x, t_vec, mask) -> eps.
     Adds posterior noise only when t > 0, then wraps angular channels.
+
+    noise_scale: scalar or (F,)-vector sampling temperature on the posterior
+    noise (1.0 = reference-parity DDPM, sampling.py:69-75). Per-feature
+    values calibrate marginal dispersion: the 24k study measured the narrow
+    bond-angle marginals ~15% under-dispersed vs the data at scale 1.0
+    (analysis/synthetic_24k/), so a mild >1 temperature on those features
+    matches the data variance without touching the trained model.
     """
     b = x.shape[0]
     t_vec = jnp.full((b,), t, dtype=jnp.int32)
@@ -52,7 +60,9 @@ def p_sample_step(
 
     noise = jax.random.normal(key, x.shape, dtype=x.dtype)
     sigma_t = schedule.sqrt_posterior_variance[t]
-    x_next = model_mean + jnp.where(t > 0, sigma_t, 0.0) * noise
+    x_next = model_mean + jnp.where(t > 0, sigma_t, 0.0) * (
+        jnp.asarray(noise_scale, dtype=x.dtype) * noise
+    )
 
     is_angular = jnp.asarray(is_angular, dtype=bool)
     return jnp.where(is_angular, wrap_angles(x_next), x_next)
@@ -68,6 +78,7 @@ def p_sample_loop(
     return_history: bool = False,
     start_t: Optional[int] = None,
     unroll: int = 1,
+    noise_scale=1.0,
 ) -> jnp.ndarray:
     """
     Reverse chain (start_t or T)-1 .. 0 as one scan. unroll > 1 pipelines
@@ -85,7 +96,9 @@ def p_sample_loop(
 
     def step(x, scan_in):
         t, k = scan_in
-        x_next = p_sample_step(model_fn, x, t, k, attn_mask, schedule, is_angular)
+        x_next = p_sample_step(
+            model_fn, x, t, k, attn_mask, schedule, is_angular, noise_scale
+        )
         return x_next, (x_next if return_history else None)
 
     ts = jnp.arange(timesteps - 1, -1, -1)
@@ -110,6 +123,8 @@ def build_sampler(
     nonangular_variance: float = 1.0,
     unroll: int = 1,
     params_as_arg: bool = False,
+    noise_scale=1.0,
+    noise_scale_as_arg: bool = False,
 ):
     """
     jit-compiled sampler closure. Weights are closed over; one compilation per
@@ -124,6 +139,14 @@ def build_sampler(
     a fresh trace+compile per checkpoint (minutes each through the remote
     compile tunnel). Use `functools.partial(sampler, params)` to feed the
     result into sample(sampler=...).
+
+    noise_scale_as_arg=True likewise turns the DDPM sampling temperature into
+    a runtime argument, inserted AFTER params (when params_as_arg) and before
+    the rest: calibration sweeps try many per-feature noise_scale vectors on
+    one compiled T-step scan instead of re-tracing per gamma. DDPM only (the
+    accelerated samplers take no posterior-noise temperature). All vectors
+    must share one shape per compilation -- pass jnp.ones(n_ft) for the
+    uncalibrated rows of a sweep, not the scalar 1.0.
 
     gen_noise=False: signature (noise, attn_mask, key) -- caller provides x_T
     (used by partial-noise reconstruction).
@@ -145,8 +168,12 @@ def build_sampler(
     # silently apply the wrong inversion. Fail loudly instead.
     if start_t is not None and method != "ddpm":
         raise ValueError(f"start_t is only supported with method='ddpm', got {method!r}")
+    if noise_scale_as_arg and method != "ddpm":
+        raise ValueError(
+            f"noise_scale_as_arg is only supported with method='ddpm', got {method!r}"
+        )
 
-    def run_loop(p, noise, attn_mask, key):
+    def run_loop(p, ns, noise, attn_mask, key):
         def model_fn(x, t_vec, mask):
             return model.apply(
                 {"params": p, "constants": constants}, x, t_vec, mask, deterministic=True
@@ -164,17 +191,26 @@ def build_sampler(
             )
         return p_sample_loop(
             model_fn, noise, key, attn_mask, schedule, is_angular, return_history,
-            start_t=start_t, unroll=unroll,
+            start_t=start_t, unroll=unroll, noise_scale=ns,
         )
 
-    if not gen_noise:
+    def _bind(core):
+        # core(p, ns, *rest) -> jit-compiled fn with p/ns either runtime args
+        # (prepended in that order) or baked-in constants
+        if params_as_arg and noise_scale_as_arg:
+            return jax.jit(core)
         if params_as_arg:
-            return jax.jit(run_loop)
-        return jax.jit(lambda noise, attn_mask, key: run_loop(params, noise, attn_mask, key))
+            return jax.jit(lambda p, *rest: core(p, noise_scale, *rest))
+        if noise_scale_as_arg:
+            return jax.jit(lambda ns, *rest: core(params, ns, *rest))
+        return jax.jit(lambda *rest: core(params, noise_scale, *rest))
+
+    if not gen_noise:
+        return _bind(run_loop)
 
     assert n_ft is not None
 
-    def _sampler(p, attn_mask, seed_lo, seed_hi, chunk_i):
+    def _sampler(p, ns, attn_mask, seed_lo, seed_hi, chunk_i):
         # Same derivation sample() used to do eagerly: build the master key
         # from the seed (split into two uint32 words so 64-bit seeds keep
         # distinct streams instead of silently colliding mod 2**32), fold the
@@ -186,15 +222,9 @@ def build_sampler(
         noise = sample_wrapped_noise(
             noise_key, (b, l, n_ft), is_angular, angular_variance, nonangular_variance
         )
-        return run_loop(p, noise, attn_mask, loop_key)
+        return run_loop(p, ns, noise, attn_mask, loop_key)
 
-    if params_as_arg:
-        return jax.jit(_sampler)
-    return jax.jit(
-        lambda attn_mask, seed_lo, seed_hi, chunk_i: _sampler(
-            params, attn_mask, seed_lo, seed_hi, chunk_i
-        )
-    )
+    return _bind(_sampler)
 
 
 def ddim_sample_loop(
@@ -504,6 +534,7 @@ def sample(
     method: str = "ddpm",
     ddim_steps: int = 50,
     ddim_eta: float = 0.0,
+    noise_scale=1.0,
     shard_fn=None,
     sampler=None,
 ) -> List[np.ndarray]:
@@ -535,6 +566,7 @@ def sample(
             method=method, ddim_steps=ddim_steps, ddim_eta=ddim_eta,
             gen_noise=True, n_ft=n_ft,
             angular_variance=angular_variance, nonangular_variance=nonangular_variance,
+            noise_scale=noise_scale,
         )
 
     # Bucket-aware chunking: group lengths by their padded seq bucket before

@@ -535,3 +535,107 @@ class TestParamsAsArgSampler(_TinyModelMixin):
         assert ps._cache_size() == n_compiled, (
             "swapping same-shaped params must not recompile the sampler"
         )
+
+
+class TestNoiseScale(_TinyModelMixin):
+    """Per-feature sampling temperature on the DDPM posterior noise
+    (noise_scale): 1.0 is bitwise reference-parity, 0.0 removes all
+    stochasticity after x_T, and per-feature vectors move only the intended
+    marginals' dispersion (the 24k calibration use-case)."""
+
+    def test_scalar_one_equals_vector_ones(self):
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 8)
+        kwargs = dict(
+            is_angular=IS_ANGULAR, pad=32, n=1, sweep_lengths=(16, 18), batch_size=4
+        )
+        a = samp.sample(model, variables["params"], variables["constants"], sched,
+                        seed=3, noise_scale=1.0, **kwargs)
+        b = samp.sample(model, variables["params"], variables["constants"], sched,
+                        seed=3, noise_scale=np.ones(6), **kwargs)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_zero_scale_is_deterministic_after_xt(self):
+        """With noise_scale=0 the only randomness is x_T: the same initial
+        noise must give the same chain under different loop keys."""
+        sched = DiffusionSchedule.create("cosine", 16)
+        model_fn = lambda x, t, m: jnp.zeros_like(x)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 6))
+        mask = jnp.ones((4, 8))
+        a = samp.p_sample_loop(model_fn, x0, jax.random.PRNGKey(1), mask, sched,
+                               [False] * 6, noise_scale=0.0)
+        b = samp.p_sample_loop(model_fn, x0, jax.random.PRNGKey(2), mask, sched,
+                               [False] * 6, noise_scale=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_noise_scale_as_arg_matches_baked_and_reuses_cache(self):
+        """build_sampler(noise_scale_as_arg=True): gamma is a runtime argument
+        -- outputs must match the baked-in-constant sampler, and swapping
+        gamma vectors must NOT grow the jit cache (calibration sweeps reuse
+        one compiled T-step scan)."""
+        import functools
+
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 8)
+        kwargs = dict(
+            is_angular=IS_ANGULAR, pad=32, n=1, sweep_lengths=(16, 18), batch_size=4
+        )
+        gamma = np.array([1.0, 1.1, 1.0, 1.2, 1.0, 1.3])
+        baked = samp.sample(
+            model, variables["params"], variables["constants"], sched,
+            seed=5, noise_scale=gamma, **kwargs
+        )
+        ns_arg = samp.build_sampler(
+            model, variables["params"], variables["constants"], sched,
+            np.asarray(IS_ANGULAR), gen_noise=True, n_ft=6,
+            params_as_arg=True, noise_scale_as_arg=True,
+        )
+        out = samp.sample(
+            model, variables["params"], variables["constants"], sched, seed=5,
+            sampler=functools.partial(ns_arg, variables["params"], gamma), **kwargs
+        )
+        for x, y in zip(baked, out):
+            np.testing.assert_allclose(x, y, atol=1e-3)
+
+        # Different gamma, same shape: results change, cache size does not
+        n_compiled = ns_arg._cache_size()
+        out2 = samp.sample(
+            model, variables["params"], variables["constants"], sched, seed=5,
+            sampler=functools.partial(ns_arg, variables["params"], np.ones(6)), **kwargs
+        )
+        assert not all(np.array_equal(x, y) for x, y in zip(out, out2))
+        assert ns_arg._cache_size() == n_compiled, (
+            "swapping same-shaped noise_scale must not recompile the sampler"
+        )
+
+    def test_noise_scale_as_arg_rejected_for_accelerated_methods(self):
+        model, variables = self.get_model()
+        sched = DiffusionSchedule.create("cosine", 8)
+        for method in ("ddim", "dpmpp"):
+            with pytest.raises(ValueError, match="noise_scale_as_arg"):
+                samp.build_sampler(
+                    model, variables["params"], variables["constants"], sched,
+                    IS_ANGULAR, method=method, noise_scale_as_arg=True,
+                )
+
+    def test_vector_scale_widens_only_scaled_feature(self):
+        """Null model (eps_pred = 0, non-angular): the chain accumulates pure
+        posterior noise, so doubling one feature's temperature must widen
+        that marginal and leave the others' spread unchanged (same keys)."""
+        sched = DiffusionSchedule.create("cosine", 32)
+        model_fn = lambda x, t, m: jnp.zeros_like(x)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (64, 8, 6)) * 0.0
+        mask = jnp.ones((64, 8))
+        base = np.asarray(samp.p_sample_loop(
+            model_fn, x0, jax.random.PRNGKey(7), mask, sched, [False] * 6,
+            noise_scale=np.ones(6)))
+        hot = np.asarray(samp.p_sample_loop(
+            model_fn, x0, jax.random.PRNGKey(7), mask, sched, [False] * 6,
+            noise_scale=np.array([1.0, 1.0, 1.0, 1.0, 2.0, 1.0])))
+        base_std = base.reshape(-1, 6).std(axis=0)
+        hot_std = hot.reshape(-1, 6).std(axis=0)
+        assert hot_std[4] > 1.8 * base_std[4], (hot_std, base_std)
+        np.testing.assert_allclose(
+            np.delete(hot_std, 4), np.delete(base_std, 4), rtol=1e-6
+        )
