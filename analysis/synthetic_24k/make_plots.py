@@ -66,7 +66,10 @@ def main():
         from matplotlib import pyplot as plt
 
         with open(tm_json) as f:
-            tm_vals = np.array(list(json.load(f).values()))
+            # novelty_sweep.py adds a "__coverage__" resume sentinel
+            tm_vals = np.array(
+                [v for k, v in json.load(f).items() if not k.startswith("__")]
+            )
         fig, ax = plt.subplots(dpi=300, figsize=(5.2, 3.2))
         ax.hist(tm_vals, bins=24, range=(0.0, 1.0), color="#4c72b0", edgecolor="white")
         ax.axvline(0.5, color="0.35", lw=1.2, ls="--")
