@@ -50,7 +50,16 @@ def main():
     parser.add_argument("--flush", type=int, default=25)
     parser.add_argument("--nsubset", type=int, default=0,
                         help="only score the first N samples (0 = all)")
+    parser.add_argument("--summary-name", default=None,
+                        help="summary filename (default novelty_summary.json "
+                        "for the default --sampled dir, else derived from the "
+                        "query dir name so a baseline sweep over held-out "
+                        "test structures cannot stomp the samples' summary)")
     args = parser.parse_args()
+    if args.summary_name is None:
+        qdir = os.path.basename(os.path.normpath(args.sampled))
+        args.summary_name = ("novelty_summary.json" if qdir == "sampled_pdb"
+                             else f"novelty_summary_{qdir}.json")
 
     from foldingdiff_tpu.eval import tmalign_native as tn
     from foldingdiff_tpu.eval.tmscore import _load_ca
@@ -158,7 +167,7 @@ def main():
         "frac_above_0.7": float(np.mean(vals >= 0.7)),
         "wall_clock_sec": time.time() - t_start,
     }
-    with open(os.path.join(HERE, "novelty_summary.json"), "w") as f:
+    with open(os.path.join(HERE, args.summary_name), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
 
