@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=0.0)
+    parser.add_argument(
+        "--noise-scale", type=str, default="",
+        help="DDPM posterior-noise temperature: one float, or comma-separated "
+             "per-feature floats (calibrates marginal dispersion -- fit with "
+             "analysis/synthetic_24k/dispersion_check.py). DDPM only.",
+    )
     parser.add_argument("--fullhistory", action="store_true", help="write per-timestep angles")
     parser.add_argument("--nopdb", action="store_true", help="skip PDB writing")
     parser.add_argument("--noplot", action="store_true", help="skip plots")
@@ -98,6 +104,9 @@ def main():
     import pandas as pd
 
     args = build_parser().parse_args()
+    if args.noise_scale and args.method != "ddpm":
+        raise SystemExit("--noise-scale is a DDPM posterior-noise temperature; "
+                         f"method={args.method!r} takes none")
     from foldingdiff_tpu.utils_platform import maybe_force_cpu
 
     maybe_force_cpu(args.cpu)
@@ -150,6 +159,18 @@ def main():
     except NotImplementedError:
         mean_offset = None
 
+    noise_scale = 1.0
+    if args.noise_scale:
+        vals = [float(v) for v in args.noise_scale.split(",")]
+        if len(vals) == 1:
+            noise_scale = vals[0]
+        elif len(vals) == len(ft_names):
+            noise_scale = np.asarray(vals, dtype=np.float32)
+        else:
+            raise SystemExit(
+                f"--noise-scale needs 1 or {len(ft_names)} values, got {len(vals)}"
+            )
+
     from foldingdiff_tpu.utils_profiling import maybe_profile, phase_timer
 
     with maybe_profile(args.profile), phase_timer("sampling"):
@@ -167,6 +188,7 @@ def main():
             method=args.method,
             ddim_steps=args.ddim_steps,
             ddim_eta=args.ddim_eta,
+            noise_scale=noise_scale,
             shard_fn=shard_fn,
         )
     final = [s[-1] if args.fullhistory else s for s in sampled]

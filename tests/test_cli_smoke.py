@@ -160,6 +160,47 @@ def test_sample_random_angles_cli(workspace):
     assert d.max() < 4.2 and np.median(d) > 3.0
 
 
+def test_sample_cli_noise_scale(workspace):
+    """--noise-scale: per-feature DDPM posterior-noise temperature (the
+    dispersion-calibration knob, analysis/synthetic_24k/). The per-feature
+    form samples; wrong arity and non-DDPM methods reject loudly."""
+    if not (workspace / "results_ns" / "config.json").exists():
+        r = _run(
+            [os.path.join(REPO, "bin", "train.py"), str(workspace / "tiny.json"),
+             "-o", str(workspace / "results_ns"), "--cpu", "--dryrun"],
+            cwd=str(workspace),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run(
+        [os.path.join(REPO, "bin", "sample.py"), "-m", str(workspace / "results_ns"),
+         "-o", str(workspace / "sampled_ns"), "-l", "30", "31", "-n", "1", "-b", "4",
+         "--cpu", "--noplot", "--nopdb",
+         "--noise-scale", "1.0,1.0,1.0,1.2,1.1,1.0"],
+        cwd=str(workspace),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert len(list((workspace / "sampled_ns" / "sampled_angles").glob("*.csv.gz"))) == 1
+
+    # wrong arity fails loudly (canonical-full-angles has 6 features)
+    r = _run(
+        [os.path.join(REPO, "bin", "sample.py"), "-m", str(workspace / "results_ns"),
+         "-o", str(workspace / "sampled_ns_bad"), "-l", "30", "31", "-n", "1",
+         "--cpu", "--noplot", "--nopdb", "--noise-scale", "1.0,1.0"],
+        cwd=str(workspace),
+    )
+    assert r.returncode != 0 and "needs 1 or 6 values" in r.stderr
+
+    # non-DDPM methods take no posterior-noise temperature
+    r = _run(
+        [os.path.join(REPO, "bin", "sample.py"), "-m", str(workspace / "results_ns"),
+         "-o", str(workspace / "sampled_ns_bad2"), "-l", "30", "31", "-n", "1",
+         "--cpu", "--noplot", "--nopdb", "--method", "dpmpp", "--noise-scale", "1.1"],
+        cwd=str(workspace),
+    )
+    assert r.returncode != 0 and "DDPM posterior-noise temperature" in r.stderr
+
+
 def test_splice_aa_cli(tmp_path):
     """Graft idealized side chains onto a backbone (reference
     bin/splice_aa_onto_backbone.py) -- the graft_relax notebook's first step."""
