@@ -48,6 +48,10 @@ def main():
                         default="valid",
                         help="which checkpoint family to load (swa = the "
                         "tail-averaged weights saved by TrainConfig.use_swa)")
+    parser.add_argument("--suffix", default="",
+                        help="extra artifact-name suffix (e.g. _seed7 for a "
+                        "training-seed robustness run evaluated from its own "
+                        "--results dir)")
     args = parser.parse_args()
     from foldingdiff_tpu.utils_platform import maybe_force_cpu
 
@@ -77,6 +81,7 @@ def main():
         noise_scale = np.array([float(v) for v in args.noise_scale.split(",")])
         assert noise_scale.shape == (6,)
         suffix += "_cal"
+    suffix += args.suffix
 
     import pandas as pd
 

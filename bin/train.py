@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--epochs", default=None, type=int, help="override max/min epochs")
     parser.add_argument("--batchsize", default=None, type=int)
     parser.add_argument(
+        "--seed", default=None, type=int,
+        help="override the training seed (init, noising, split shuffles; "
+        "train() default 42) — enables training-seed robustness sweeps",
+    )
+    parser.add_argument(
         "--multihost", action="store_true",
         help="initialize jax.distributed (TPU pod slices; mesh spans all hosts)",
     )
@@ -92,6 +97,7 @@ def main():
         "max_epochs": args.epochs,
         "min_epochs": args.epochs,
         "batch_size": args.batchsize,
+        "seed": args.seed,
         "resume": args.resume or None,
     }
     config = update_dict_nonnull(config, {k: v for k, v in overrides.items() if v is not None})
