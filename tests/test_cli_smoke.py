@@ -45,7 +45,7 @@ def _run(args, cwd):
 def test_train_then_sample_cli(workspace):
     r = _run(
         [os.path.join(REPO, "bin", "train.py"), str(workspace / "tiny.json"),
-         "-o", str(workspace / "results"), "--cpu", "--dryrun"],
+         "-o", str(workspace / "results"), "--cpu", "--dryrun", "--seed", "11"],
         cwd=str(workspace),
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -53,6 +53,10 @@ def test_train_then_sample_cli(workspace):
                      "train_files.txt", "logs/metrics.csv"]:
         assert (workspace / "results" / artifact).exists(), artifact
     assert list((workspace / "results" / "models" / "best_by_valid").glob("*.msgpack"))
+    # --seed is recorded for downstream reproducibility tooling (the
+    # training-seed robustness sweep keys off this)
+    args_json = json.loads((workspace / "results" / "training_args.json").read_text())
+    assert args_json["seed"] == 11
 
     r = _run(
         [os.path.join(REPO, "bin", "sample.py"), "-m", str(workspace / "results"),
